@@ -1,0 +1,105 @@
+"""Deformation-parameter decoder and residual networks.
+
+Ports of reference ``network/deformation_net.py``:
+
+* ``DeformNetMatching`` (ref ``DeformNet_MatchingNet:43-93``): builds a
+  2-node global graph (mean source code, target code), runs it against the
+  16 part nodes through the graph-attention stack, concatenates the attended
+  global context onto every part node, and MLP-decodes 6 deformation
+  parameters per part.
+* ``ResidualNet`` (ref ``re_residual_net:96-107``): per-point MLP
+  [in -> 256 -> 256 -> 32 -> 3] predicting 3-vectors; instantiated three
+  times in the engine (target recon, source recon, retrieval residuals —
+  ref ``engine/train.py:41,44,76``).
+* ``NodeDecoder`` (ref ``NodeDecoder:10-40``): small 2-layer node head.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ured_tpu.models.ffn import PointMLP
+from ured_tpu.models.gnn import GraphAttentionNet
+
+
+class NodeDecoder(nn.Module):
+    intermediate: int
+    embedding_size: int
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Dense(self.intermediate)(x)
+        if self.norm == "batch":
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9, epsilon=1e-5)(x)
+        elif self.norm == "layer":
+            x = nn.LayerNorm()(x)
+        x = nn.relu(x)
+        return nn.Dense(self.embedding_size)(x)
+
+
+class DeformNetMatching(nn.Module):
+    """Graph-attention deformation decoder.
+
+    Live configuration (ref ``engine/train.py:46-47``): ``input_dim`` =
+    3 * source_latent_dim, ``graph_dim`` = source_latent_dim, 2 stages,
+    4 heads, 6 output params, matching head disabled.
+    """
+
+    input_dim: int
+    num_stages: int = 2
+    num_heads: int = 4
+    part_latent_dim: int = 256
+    graph_dim: int = 128
+    output_dim: int = 6
+    use_offset: bool = False
+    point_f_dim: int = 256
+    points_num: int = 2048
+    max_num_parts: int = 16
+    matching: bool = False
+    attention: str = "softmax"
+
+    @nn.compact
+    def __call__(self, target_f, src_part_f, per_point_f=None,
+                 train: bool = True):
+        """target_f: [B, C]; src_part_f: [B, P, C]; per_point_f unused in the
+        live path (kept for signature parity with ref ``forward:74``).
+        Returns params [B, P, output_dim]."""
+        # Defined-but-unused in the reference forward; kept for checkpoint
+        # surface parity (ref ``deformation_net.py:60``).
+        part_encoding = PointMLP(  # noqa: F841
+            [128, self.graph_dim], norm="none", name="part_encoding")
+
+        global_src_f = jnp.mean(src_part_f, axis=1)           # [B, C]
+        global_node = jnp.stack([global_src_f, target_f], axis=1)  # [B, 2, C]
+
+        gat = GraphAttentionNet(self.num_stages, self.graph_dim,
+                                self.num_heads, self.attention,
+                                self.use_offset, name="graph_attention_net")
+        global_a, part_a = gat(global_node, src_part_f, train=train)
+
+        p = part_a.shape[1]
+        global_ctx = global_a.reshape(global_a.shape[0], 1, -1)  # [B, 1, 2C]
+        global_ctx = jnp.broadcast_to(
+            global_ctx, (global_ctx.shape[0], p, global_ctx.shape[-1]))
+        full = jnp.concatenate([global_ctx, part_a], axis=-1)  # [B, P, 3C]
+
+        params = PointMLP([256, self.output_dim], norm="none",
+                          name="param_decoder")(full, train=train)
+        return params
+
+
+class ResidualNet(nn.Module):
+    """Per-point residual predictor (ref ``re_residual_net:96-107``)."""
+
+    input_dim: int
+    output_dim: int = 3
+
+    @nn.compact
+    def __call__(self, concat_feature, train: bool = True):
+        """concat_feature: [B, N, input_dim] -> [B, N, output_dim]."""
+        assert concat_feature.shape[-1] == self.input_dim
+        return PointMLP([256, 256, 32, self.output_dim], norm="batch",
+                        name="residual_net")(concat_feature, train=train)

@@ -1,0 +1,69 @@
+"""Graph attention network over (global nodes, part nodes).
+
+Port of reference ``attention_graph/attention_gnn.py:35-104``: alternating
+self / cross attention stages, each a residual message-propagation block
+(MHA -> concat(query, message) -> FFN -> residual).  Parameter sharing
+mirrors the reference exactly: within a stage, the *same* block processes
+both node sets.
+
+Layout: node descriptors are [B, N, C] (channels last).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ured_tpu.models.attention import MultiheadAttention
+from ured_tpu.models.ffn import PointMLP
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Reference ``ResidualAttentionMessagePropagation:35-55``."""
+
+    embed_dim: int
+    num_heads: int
+    attention: str = "softmax"
+    use_offset: bool = False  # offset-attention (arXiv:2012.09688) variant
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, desc_q, desc_kv, train: bool = True):
+        message, _ = MultiheadAttention(
+            self.embed_dim, self.num_heads, self.attention,
+            name="mha")(desc_q, desc_kv, desc_kv)
+        if self.use_offset:
+            cat = jnp.concatenate([desc_q - message, message], axis=-1)
+        else:
+            cat = jnp.concatenate([desc_q, message], axis=-1)
+        ffn = PointMLP([2 * self.embed_dim, self.embed_dim],
+                       norm=self.norm, name="fc")(cat, train=train)
+        return desc_q + ffn
+
+
+class GraphAttentionNet(nn.Module):
+    """Reference ``GraphAttentionNet:85-104``: ``num_stages`` repetitions of
+    (self-attention on each node set, then cross-attention between them),
+    with the block weights shared across the two node sets per layer."""
+
+    num_stages: int
+    embed_dim: int
+    num_heads: int
+    attention: str = "softmax"
+    use_offset: bool = False
+
+    @nn.compact
+    def __call__(self, desc0, desc1, train: bool = True):
+        for s in range(self.num_stages):
+            self_block = ResidualAttentionBlock(
+                self.embed_dim, self.num_heads, self.attention,
+                self.use_offset, name=f"self_{s}")
+            desc0 = self_block(desc0, desc0, train=train)
+            desc1 = self_block(desc1, desc1, train=train)
+
+            cross_block = ResidualAttentionBlock(
+                self.embed_dim, self.num_heads, self.attention,
+                self.use_offset, name=f"cross_{s}")
+            desc0 = cross_block(desc0, desc1, train=train)
+            desc1 = cross_block(desc1, desc0, train=train)
+        return desc0, desc1
