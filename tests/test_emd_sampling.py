@@ -1,0 +1,137 @@
+"""EMD auction + PointNet++ sampling op tests vs exact oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ured_tpu.ops.emd import calc_emd, emd_auction, emd_reference
+from ured_tpu.ops.sampling import (
+    ball_query,
+    farthest_point_sample,
+    gather_points,
+    group_points,
+    interpolation_weights,
+    sample_and_group,
+    three_interpolate,
+    three_nn,
+)
+
+
+def test_emd_identical_clouds():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(2, 64, 3)), jnp.float32)
+    dist, assign = emd_auction(x, x, eps=0.002, iters=200)
+    # near-perfect matching on identical clouds
+    assert float(dist.mean()) < 1e-3
+
+
+def test_emd_close_to_hungarian():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(size=(2, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.uniform(size=(2, 32, 3)), jnp.float32)
+    dist, assign = emd_auction(x, y, eps=0.001, iters=500)
+    approx = np.asarray(dist.mean(-1))
+    exact = emd_reference(x, y)
+    # auction is approximate; must be within a modest factor of optimal
+    assert np.all(approx >= exact - 1e-5)
+    assert np.all(approx <= exact * 1.6 + 1e-3), (approx, exact)
+
+
+def test_emd_assignment_mostly_bijective():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(size=(1, 64, 3)), jnp.float32)
+    y = jnp.asarray(rng.uniform(size=(1, 64, 3)), jnp.float32)
+    _, assign = emd_auction(x, y, eps=0.001, iters=500)
+    uniq = len(np.unique(np.asarray(assign[0])))
+    assert uniq >= 60  # near-bijective
+
+def test_emd_gradient_only_x():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(size=(1, 16, 3)), jnp.float32)
+    y = jnp.asarray(rng.uniform(size=(1, 16, 3)), jnp.float32)
+
+    def loss(x, y):
+        d, _ = emd_auction(x, y, 0.005, 50)
+        return jnp.sum(d)
+
+    gx, gy = jax.grad(loss, argnums=(0, 1))(x, y)
+    assert np.abs(np.asarray(gx)).max() > 0
+    np.testing.assert_allclose(np.asarray(gy), 0.0)
+
+
+def test_calc_emd_shape():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(size=(2, 32, 3)), jnp.float32)
+    out, dist = calc_emd(x, x, iterations=100)
+    assert out.shape == (2,) and dist.shape == (2, 32)
+
+
+def test_fps_spread():
+    # grid of well-separated clusters: fps must pick one per cluster
+    centers = np.array([[0, 0, 0], [10, 0, 0], [0, 10, 0], [10, 10, 0]],
+                       dtype=np.float32)
+    rng = np.random.default_rng(0)
+    pts = np.concatenate(
+        [c + 0.1 * rng.normal(size=(8, 3)).astype(np.float32)
+         for c in centers])
+    idx = farthest_point_sample(jnp.asarray(pts)[None], 4)
+    chosen = pts[np.asarray(idx[0])]
+    # one chosen point near each cluster center
+    d = np.linalg.norm(chosen[:, None] - centers[None], axis=-1).min(0)
+    assert np.all(d < 1.0)
+
+
+def test_fps_first_is_zero():
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.normal(size=(2, 32, 3)), jnp.float32)
+    idx = farthest_point_sample(pts, 8)
+    np.testing.assert_array_equal(np.asarray(idx[:, 0]), [0, 0])
+    # no duplicate picks
+    for b in range(2):
+        assert len(np.unique(np.asarray(idx[b]))) == 8
+
+
+def test_ball_query_semantics():
+    xyz = jnp.asarray([[[0, 0, 0], [0.1, 0, 0], [5, 5, 5], [0, 0.1, 0]]],
+                      jnp.float32)
+    new_xyz = jnp.asarray([[[0, 0, 0]]], jnp.float32)
+    idx = ball_query(0.5, 3, xyz, new_xyz)
+    # hits are 0, 1, 3 in index order
+    np.testing.assert_array_equal(np.asarray(idx[0, 0]), [0, 1, 3])
+    # radius excluding everything but self: slots repeat first hit
+    idx2 = ball_query(0.05, 3, xyz, new_xyz)
+    np.testing.assert_array_equal(np.asarray(idx2[0, 0]), [0, 0, 0])
+
+
+def test_three_nn_interpolate_roundtrip():
+    rng = np.random.default_rng(5)
+    known = jnp.asarray(rng.normal(size=(1, 16, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(1, 16, 4)), jnp.float32)
+    # unknown == known: nearest neighbor is itself -> interpolation returns
+    # the feature exactly
+    d, idx = three_nn(known, known)
+    np.testing.assert_array_equal(np.asarray(idx[..., 0]),
+                                  np.arange(16)[None])
+    w = interpolation_weights(d)
+    out = three_interpolate(feats, idx, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(feats), atol=1e-4)
+
+
+def test_sample_and_group_shapes():
+    rng = np.random.default_rng(6)
+    xyz = jnp.asarray(rng.normal(size=(2, 64, 3)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(2, 64, 5)), jnp.float32)
+    new_xyz, grouped = sample_and_group(16, 0.5, 8, xyz, feats)
+    assert new_xyz.shape == (2, 16, 3)
+    assert grouped.shape == (2, 16, 8, 8)  # 3 + 5
+
+
+def test_gather_group_points():
+    pts = jnp.asarray(np.arange(12, dtype=np.float32).reshape(1, 4, 3))
+    idx = jnp.asarray([[2, 0]])
+    out = gather_points(pts, idx)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), [6, 7, 8])
+    gidx = jnp.asarray([[[1, 1], [3, 0]]])
+    g = group_points(pts, gidx)
+    assert g.shape == (1, 2, 2, 3)
+    np.testing.assert_allclose(np.asarray(g[0, 1, 0]), [9, 10, 11])

@@ -1,0 +1,70 @@
+"""Evaluation pipeline + metrics tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ured_tpu.config import URedConfig
+from ured_tpu.data import synthetic
+from ured_tpu.engine.evaluate import build_source_db, evaluate, make_eval_step
+from ured_tpu.models.ured import URED
+from ured_tpu.utils.metrics import dcd_relevance, ndcg_score
+
+
+def _tiny_cfg():
+    return URedConfig(batch_size=2, MAX_NUM_PARTS=8, num_target_points=128,
+                      num_part_points=32, sem_latent_dim=8,
+                      source_latent_dim=16, target_latent_dim=16,
+                      part_latent_dim=16)
+
+
+def test_ndcg_perfect_and_inverse():
+    rel = np.array([3.0, 2.0, 1.0, 0.0])
+    assert ndcg_score(rel, np.array([4, 3, 2, 1]), k=4) == 1.0
+    assert ndcg_score(rel, np.array([1, 2, 3, 4]), k=4) < 1.0
+
+
+def test_ndcg_matches_sklearn():
+    from sklearn import metrics as skm
+
+    rng = np.random.default_rng(0)
+    rel = rng.uniform(size=30)
+    scores = rng.normal(size=30)
+    ours = ndcg_score(rel, scores, k=10)
+    theirs = skm.ndcg_score([rel.tolist()], [scores.tolist()], k=10)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-9)
+
+
+def test_dcd_relevance_monotone():
+    r = dcd_relevance(np.array([0.0, 0.001, 0.01]), sigma=0.001)
+    assert r[0] > r[1] > r[2]
+
+
+def test_eval_step_and_full_evaluate():
+    cfg = _tiny_cfg()
+    data = synthetic.generate(num_targets=4, num_sources=6, n_points=128,
+                              points_per_part=32, max_parts=8, seed=0)
+    model = URED(cfg)
+    init_batch = {k: jnp.asarray(v) for k, v in synthetic.make_batch(
+        data, np.arange(2), 8).items()}
+    variables = model.init(jax.random.PRNGKey(0), init_batch, train=False)
+
+    src_db = build_source_db(cfg, model, variables,
+                             jnp.asarray(data.src_points),
+                             jnp.asarray(data.src_sems),
+                             jnp.asarray(data.src_mats), chunk=4)
+    assert src_db["codes"].shape == (6, cfg.source_latent_dim)
+
+    step = jax.jit(make_eval_step(cfg, model))
+    batch = {"x": jnp.asarray(data.points[:2]),
+             "labels": jnp.asarray(data.labels[:2]),
+             "tgt_sem": jnp.asarray(data.semantics[:2])}
+    out = step(variables, batch, src_db)
+    assert out["cd_full"].shape == (2,)
+    assert np.isfinite(np.asarray(out["cd_full"])).all()
+    assert out["top1"].shape == (2, 8)
+    assert np.all(np.asarray(out["top1"]) < 6)
+
+    metrics = evaluate(cfg, model, variables, data)
+    for key in ("best_full_cd_loss", "best_full_re_loss", "ndcg@40"):
+        assert np.isfinite(metrics[key])

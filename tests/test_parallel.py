@@ -1,0 +1,139 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ured_tpu.config import URedConfig
+from ured_tpu.data import synthetic
+from ured_tpu.engine.train import init_state, make_optimizer, make_train_step
+from ured_tpu.models.ured import URED
+from ured_tpu.parallel import (
+    make_mesh,
+    make_sharded_train_step,
+    retrieve_topk,
+    sharded_retrieve_topk,
+)
+
+
+def _tiny_cfg():
+    return URedConfig(batch_size=8, MAX_NUM_PARTS=8, num_target_points=128,
+                      num_part_points=32, sem_latent_dim=8,
+                      source_latent_dim=16, target_latent_dim=16,
+                      part_latent_dim=16)
+
+
+def _data_and_batch(cfg):
+    data = synthetic.generate(num_targets=8, num_sources=8, n_points=128,
+                              points_per_part=32, max_parts=8, seed=0)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic.make_batch(data, np.arange(8), 8).items()}
+    return data, batch
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(db=2)
+    assert mesh.shape["dp"] * mesh.shape["db"] == len(jax.devices())
+
+
+def test_sharded_step_dp1_exact_parity():
+    """A 1-shard shard_map step is bitwise-equivalent math to the
+    single-device step (the world-size-1 fast path of the reference,
+    contrast_loss.py:42)."""
+    cfg = _tiny_cfg()
+    data, batch = _data_and_batch(cfg)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=1)
+    model = URED(cfg)
+    state = init_state(cfg, model, tx, batch)
+
+    single = jax.jit(make_train_step(cfg, model, tx))
+    s1, m1 = single(state, batch, jnp.asarray(0))
+
+    mesh = make_mesh(dp=1, db=1, devices=jax.devices()[:1])
+    step, place = make_sharded_train_step(cfg, model, tx, mesh, explicit=True)
+    st, bt, ep = place(state, batch, 0)
+    s2, m2 = step(st, bt, ep)
+
+    np.testing.assert_allclose(float(m1["all_loss"]), float(m2["all_loss"]),
+                               rtol=1e-5)
+    k1 = np.asarray(s1.params["target_encoder_full"]["fc"]["kernel"])
+    k2 = np.asarray(s2.params["target_encoder_full"]["fc"]["kernel"])
+    np.testing.assert_allclose(k1, k2, atol=1e-6)
+
+
+def test_sharded_step_dp8_close_to_single_device():
+    """8-way DP differs from single-device only through local-batch
+    BatchNorm statistics (like torch DDP without SyncBN) — loss must be
+    finite and close."""
+    cfg = _tiny_cfg()
+    data, batch = _data_and_batch(cfg)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=1)
+    model = URED(cfg)
+    state = init_state(cfg, model, tx, batch)
+
+    single = jax.jit(make_train_step(cfg, model, tx))
+    _, m1 = single(state, batch, jnp.asarray(0))
+
+    mesh = make_mesh(dp=8, db=1)
+    step, place = make_sharded_train_step(cfg, model, tx, mesh, explicit=True)
+    st, bt, ep = place(state, batch, 0)
+    _, m2 = step(st, bt, ep)
+
+    a, b = float(m1["all_loss"]), float(m2["all_loss"])
+    assert np.isfinite(b)
+    assert abs(a - b) / abs(a) < 0.35, (a, b)
+
+
+def test_sharded_step_2d_mesh():
+    cfg = _tiny_cfg()
+    _, batch = _data_and_batch(cfg)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=1)
+    model = URED(cfg)
+    state = init_state(cfg, model, tx, batch)
+    mesh = make_mesh(dp=4, db=2)
+    step, place = make_sharded_train_step(cfg, model, tx, mesh, explicit=True)
+    st, bt, ep = place(state, batch, 0)
+    s2, m2 = step(st, bt, ep)
+    assert np.isfinite(float(m2["all_loss"]))
+
+
+def test_sharded_retrieval_matches_single(rng):
+    q = jnp.asarray(rng.normal(size=(16, 32)), jnp.float32)
+    db = jnp.asarray(rng.normal(size=(64, 32)), jnp.float32)
+    want_s, want_i = retrieve_topk(q, db, k=5)
+    mesh = make_mesh(dp=2, db=4)
+    got_s, got_i = sharded_retrieve_topk(q, db, k=5, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_contrastive_allgather_consistency():
+    """The shard_map path's all_gather'd contrastive loss equals the global
+    computation (world-size-1 fast-path equivalence, contrast_loss.py:42)."""
+    from ured_tpu.losses import contrastive_loss
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.normal(size=(8, 2, 16)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(8, 2, 16)), jnp.float32)
+    v = jnp.ones((8, 2), jnp.float32)
+
+    global_loss = contrastive_loss(f, g, v)
+
+    mesh = make_mesh(dp=8, db=1)
+
+    def local(f, g, v):
+        # each shard sees the all_gather'd negatives pool; return its loss
+        return contrastive_loss(f, g, v, axis_name="dp").reshape(1)
+
+    local_losses = jax.shard_map(
+        local, mesh=mesh, in_specs=(P("dp"), P("dp"), P("dp")),
+        out_specs=P("dp"), check_vma=False)
+
+    # every shard has equal valid counts, so the mean of the per-shard
+    # losses equals the global single-device loss
+    per = local_losses(f, g, v)
+    np.testing.assert_allclose(float(jnp.mean(per)), float(global_loss),
+                               rtol=1e-4)

@@ -1,0 +1,96 @@
+"""End-to-end train-step tests on the synthetic corpus (the reference's
+integration testing was 'run the entry points on real data', SURVEY.md §4;
+here it is hermetic)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ured_tpu.config import URedConfig
+from ured_tpu.data import synthetic
+from ured_tpu.engine.train import (
+    init_state,
+    make_optimizer,
+    make_train_step,
+    train,
+)
+from ured_tpu.models.ured import URED
+
+
+def _tiny_cfg(**kw):
+    base = dict(batch_size=4, MAX_NUM_PARTS=8, num_target_points=128,
+                num_part_points=32, sem_latent_dim=8, source_latent_dim=16,
+                target_latent_dim=16, part_latent_dim=16, epochs=1)
+    base.update(kw)
+    return URedConfig(**base)
+
+
+def test_synthetic_generator_invariants():
+    data = synthetic.generate(num_targets=4, num_sources=6, n_points=128,
+                              points_per_part=32, max_parts=8, seed=1)
+    assert data.points.shape == (4, 128, 3)
+    assert data.src_mats.shape == (6, 96, 6)
+    # A @ default == points for every source
+    for s in range(6):
+        rec = (data.src_mats[s] @ data.src_default[s]).reshape(-1, 3)
+        np.testing.assert_allclose(rec, data.src_points[s], atol=1e-4)
+    # labels are contiguous part ids < num_parts
+    for t in range(4):
+        assert data.labels[t].max() == data.num_parts[t] - 1
+    # pseudo-labels are same-semantic
+    for t in range(4):
+        for p in range(data.num_parts[t]):
+            s = data.label_table[t, p]
+            assert data.src_sems[s] == data.part_sems[t, p]
+
+
+def test_train_step_decreases_loss():
+    cfg = _tiny_cfg()
+    data = synthetic.generate(num_targets=8, num_sources=6, n_points=128,
+                              points_per_part=32, max_parts=8, seed=0)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=2)
+    model = URED(cfg)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic.make_batch(data, np.arange(4), 8).items()}
+    state = init_state(cfg, model, tx, batch)
+    step = jax.jit(make_train_step(cfg, model, tx))
+
+    state, m0 = step(state, batch, jnp.asarray(0))
+    first = float(m0["all_loss"])
+    for _ in range(12):
+        state, m = step(state, batch, jnp.asarray(0))
+    last = float(m["all_loss"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first, (first, last)
+
+
+def test_embedding_layer_frozen():
+    cfg = _tiny_cfg()
+    data = synthetic.generate(num_targets=4, num_sources=6, n_points=128,
+                              points_per_part=32, max_parts=8, seed=0)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=1)
+    model = URED(cfg)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic.make_batch(data, np.arange(4), 8).items()}
+    state = init_state(cfg, model, tx, batch)
+    emb0 = state.params["embedding_layer"]["embedding"]
+    step = jax.jit(make_train_step(cfg, model, tx))
+    state, _ = step(state, batch, jnp.asarray(0))
+    # reference excludes the embedding from its optimizer
+    # (train_utils/optimizer_dm.py:82-84)
+    np.testing.assert_array_equal(
+        np.asarray(emb0),
+        np.asarray(state.params["embedding_layer"]["embedding"]))
+    # but other modules did move
+    k0 = np.asarray(
+        state.params["target_encoder_full"]["fc"]["kernel"])
+    assert not np.allclose(k0, 0)
+
+
+def test_train_loop_smoke():
+    cfg = _tiny_cfg()
+    cfg.extras["synthetic_targets"] = 8
+    cfg.extras["synthetic_sources"] = 6
+    state, metrics = train(cfg, num_steps=3, log_every=100)
+    assert int(state.step) == 3
+    assert np.isfinite(float(metrics["all_loss"]))

@@ -1,0 +1,291 @@
+"""Joint training of the seven U-RED modules.
+
+TPU-native rebuild of reference ``engine/train.py``: the entire per-batch
+computation — source/target encoding, per-part pooling, graph-attention
+deformation decoding, analytic ``get_shape``, and all seven live losses
+(``train.py:281-335``) — is one jitted, fixed-shape ``train_step``.  The
+reference's per-step file I/O (pseudo-label pickles, ``dataset_utils.py:
+1101-1143``) is replaced by a precomputed label table; its per-module
+``clip_grad_norm_`` calls (``train.py:339-344``) by a per-module clipping
+gradient transformation; its StepLR(3, 0.5) by a staircase exponential
+schedule.
+
+Run: ``python -m ured_tpu.engine.train [config.json]`` — with no PartNet data
+present it trains on the procedural synthetic dataset.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ured_tpu.config import URedConfig
+from ured_tpu.losses import (
+    assembly_chamfer_loss,
+    contrastive_loss,
+    pc_consistency,
+    pc_consistency_weighted,
+    regularization_param,
+    residual_retrieval_loss,
+    symmetry_loss,
+)
+from ured_tpu.models.ured import URED
+from ured_tpu.ops.deform import group_points_by_part
+
+Array = jax.Array
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def clip_per_module(max_norm: float, frozen=("embedding_layer",)):
+    """Per-module gradient clipping, matching the reference's six separate
+    ``clip_grad_norm_`` calls (``engine/train.py:339-344``).  Modules in
+    ``frozen`` get zero updates — the reference excludes the embedding layer
+    from its optimizer entirely (``train_utils/optimizer_dm.py:82-84``)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip_tree(tree):
+            gn = optax.global_norm(tree)
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(gn, 1e-12))
+            return jax.tree.map(lambda g: g * scale, tree)
+
+        new = {}
+        for name, sub in updates.items():
+            if name in frozen:
+                new[name] = jax.tree.map(jnp.zeros_like, sub)
+            else:
+                new[name] = clip_tree(sub)
+        return type(updates)(new) if not isinstance(updates, dict) else new, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(cfg: URedConfig, steps_per_epoch: int):
+    """Adam(1e-3, wd 5e-4 as coupled L2) + StepLR(lr_stepsize, lr_decay)
+    (reference ``train_utils/optimizer_dm.py:68-104``)."""
+    schedule = optax.exponential_decay(
+        init_value=cfg.learning_rate,
+        transition_steps=max(1, cfg.lr_stepsize * steps_per_epoch),
+        decay_rate=cfg.lr_decay,
+        staircase=True)
+
+    def not_frozen_mask(params):
+        return {k: jax.tree.map(lambda _: k != "embedding_layer", v)
+                for k, v in params.items()}
+
+    tx = optax.chain(
+        clip_per_module(cfg.grad_clip),
+        optax.add_decayed_weights(cfg.weight_decay, mask=not_frozen_mask),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_learning_rate(schedule),
+    )
+    return tx, schedule
+
+
+def compute_losses(cfg: URedConfig, batch: Dict[str, Array],
+                   out: Dict[str, Array], epoch: Array,
+                   axis_name: Optional[str] = None
+                   ) -> Tuple[Array, Dict[str, Array]]:
+    """The seven live losses of reference ``engine/train.py:281-335``."""
+    x = batch["x"]
+    labels = batch["labels"]
+    p = cfg.MAX_NUM_PARTS
+    deformed = out["deformed"]                 # [B, P, n, 3]
+    # The chamfer losses use the *part* mask (which parts exist in the
+    # target), not the pseudo-label validity — matching the reference, where
+    # mask_part comes from get_part (train.py:130) while source_labels==-1
+    # only gates the contrastive labels (contrast_loss.py:78).
+    part_mask = out["part_mask"]
+
+    tgt_parts, tgt_parts_valid = group_points_by_part(
+        x, labels, p, cfg.num_part_points)
+
+    losses: Dict[str, Array] = {}
+    total = jnp.zeros((), jnp.float32)
+
+    if cfg.use_param_loss > 0:
+        l = regularization_param(out["params"], part_mask)
+        losses["param_loss"] = l
+        total += cfg.use_param_loss * l
+
+    if cfg.use_chamfer_loss > 0:
+        cd_full, cd_part = assembly_chamfer_loss(
+            deformed, x, tgt_parts, tgt_parts_valid, part_mask)
+        losses["cd_loss_full"] = cd_full
+        losses["cd_loss_part"] = cd_part
+        total += cfg.use_chamfer_loss * cd_full
+        total += cfg.use_chamfer_part_loss * cd_part
+
+    if cfg.use_contrast_loss > 0:
+        l = contrastive_loss(out["part_f"], out["src_codes"],
+                             batch["src_valid"] * part_mask,
+                             axis_name=axis_name)
+        losses["contrast_loss"] = l
+        total += cfg.use_contrast_loss * l
+
+    if cfg.use_symmetry_loss > 0:
+        ref_full, _ = symmetry_loss(
+            deformed, x, tgt_parts, tgt_parts_valid, part_mask)
+        losses["ref_cd_loss_full"] = ref_full
+        total += cfg.use_symmetry_loss * ref_full
+
+    if cfg.use_residuals_reg > 0:
+        b, pp, n, _ = deformed.shape
+        flat = jax.lax.stop_gradient(deformed).reshape(b, pp * n, 3)
+        flat_mask = jnp.repeat(part_mask, n, axis=-1)
+        re_loss, re_reg = residual_retrieval_loss(
+            x, flat, flat_mask, out["re_residuals"])
+        losses["re_reg_loss_full"] = re_loss
+        losses["reg_loss_full"] = re_reg
+        gate = (epoch > cfg.init_p_m_loss).astype(jnp.float32)
+        total += gate * cfg.use_residuals_reg * re_loss
+        total += gate * cfg.use_residuals_reg * 0.01 * re_reg
+
+    if cfg.use_recon > 0:
+        l_full = pc_consistency(out["recon_full"], x)
+        l_src = pc_consistency_weighted(
+            out["recon_src"], batch["src_points"], part_mask)
+        losses["recon_loss_full"] = l_full
+        losses["recon_loss_src"] = l_src
+        total += cfg.use_recon * (l_full + l_src)
+
+    losses["all_loss"] = total
+    return total, losses
+
+
+def make_train_step(cfg: URedConfig, model: URED, tx,
+                    axis_name: Optional[str] = None):
+    """Returns the (jittable) train step closure."""
+
+    def loss_fn(params, batch_stats, batch, epoch):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch, train=True, mutable=["batch_stats"])
+        total, metrics = compute_losses(cfg, batch, out, epoch, axis_name)
+        return total, (metrics, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch: Dict[str, Array], epoch: Array):
+        grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, epoch)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            new_bs = jax.lax.pmean(new_bs, axis_name)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          batch_stats=new_bs, opt_state=new_opt), metrics
+
+    return train_step
+
+
+def init_state(cfg: URedConfig, model: URED, tx, sample_batch,
+               seed: int = 0) -> TrainState:
+    variables = model.init(jax.random.PRNGKey(seed), sample_batch,
+                           train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=tx.init(params))
+
+
+def train(cfg: URedConfig, num_steps: Optional[int] = None,
+          data=None, log_every: int = 10, writer=None,
+          checkpoint_dir: Optional[str] = None):
+    """Training loop on the synthetic corpus (hermetic path).
+
+    For PartNet data, build batches via ``ured_tpu.data.partnet`` instead and
+    reuse the same step.  Returns the final state and last metrics.
+
+    Checkpoints: the full TrainState (params + batch stats + optimizer — the
+    reference dropped optimizer state, ``train.py:349-358``) every
+    ``cfg.save_epoch`` epochs; ``cfg.init_dm`` / ``cfg.init_re`` restore the
+    dm / re module groups from ``cfg.dm_model_path`` / ``cfg.re_model_path``.
+    """
+    from ured_tpu.data import synthetic
+
+    if data is None:
+        data = synthetic.generate(
+            num_targets=int(cfg.extras.get("synthetic_targets", 64)),
+            num_sources=int(cfg.extras.get("synthetic_sources", 64)),
+            n_points=cfg.num_target_points,
+            points_per_part=cfg.num_part_points,
+            max_parts=cfg.MAX_NUM_PARTS, seed=cfg.seed)
+
+    num_targets = data.points.shape[0]
+    bs = min(cfg.batch_size, num_targets)
+    steps_per_epoch = max(1, num_targets // bs)
+    tx, schedule = make_optimizer(cfg, steps_per_epoch)
+    model = URED(cfg)
+
+    rng = np.random.default_rng(cfg.seed)
+    idx0 = rng.permutation(num_targets)[:bs]
+    sample = {k: jnp.asarray(v)
+              for k, v in synthetic.make_batch(data, idx0,
+                                               cfg.MAX_NUM_PARTS).items()}
+    state = init_state(cfg, model, tx, sample, seed=cfg.seed)
+
+    if cfg.init_dm or cfg.init_re:
+        from ured_tpu.utils.checkpoint import restore_groups
+
+        if cfg.init_dm:
+            state = restore_groups(cfg.dm_model_path, state, groups=("dm",))
+        if cfg.init_re:
+            state = restore_groups(cfg.re_model_path, state, groups=("re",))
+
+    step_fn = jax.jit(make_train_step(cfg, model, tx))
+
+    total_steps = num_steps if num_steps is not None \
+        else cfg.epochs * steps_per_epoch
+    metrics = {}
+    t0 = time.perf_counter()
+    for step in range(total_steps):
+        epoch = step // steps_per_epoch
+        idx = rng.permutation(num_targets)[:bs]
+        batch = {k: jnp.asarray(v)
+                 for k, v in synthetic.make_batch(data, idx,
+                                                  cfg.MAX_NUM_PARTS).items()}
+        state, metrics = step_fn(state, batch, jnp.asarray(epoch))
+        if writer is not None:
+            writer.write(step, {k: float(v) for k, v in metrics.items()})
+        if step % log_every == 0:
+            dt = time.perf_counter() - t0
+            print(f"step {step} epoch {epoch} "
+                  f"loss {float(metrics['all_loss']):.4f} "
+                  f"cd {float(metrics.get('cd_loss_full', 0)):.4f} "
+                  f"({dt:.1f}s)")
+        end_of_epoch = (step + 1) % steps_per_epoch == 0
+        if checkpoint_dir and end_of_epoch \
+                and (epoch + 1) % cfg.save_epoch == 0:
+            from ured_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_dir, state, step=epoch)
+    return state, metrics
+
+
+def main(argv):
+    cfg = URedConfig.from_json(argv[1]) if len(argv) > 1 else URedConfig(
+        epochs=2, batch_size=8)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main(sys.argv)

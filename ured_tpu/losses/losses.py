@@ -1,0 +1,174 @@
+"""Loss implementations.
+
+Reference parity map:
+  assembly_chamfer_loss    <- loss/chamfer_loss.py:compute_cm_loss:13-27
+  symmetry_loss            <- engine/train.py:305-312 + dataset_utils.py:1194
+  contrastive_loss         <- loss/contrast_loss.py:compute_contrast_loss_loss:61-91
+  residual_retrieval_loss  <- loss/basic_loss.py:residual_retrieval_loss:249-267
+  pc_consistency           <- loss/basic_consistency_loss.py:4-8
+  pc_consistency_weighted  <- loss/basic_consistency_loss.py:10-22
+  regularization_param     <- loss/regularization_loss.py:49-52
+  regularization_residuals <- loss/regularization_loss.py:24-28
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ured_tpu.ops.chamfer import chamfer_distance, masked_mean
+from ured_tpu.ops.deform import get_symmetric
+from ured_tpu.ops.knn import knn_points
+
+Array = jax.Array
+
+
+def _flatten_parts(deformed: Array, part_mask: Array) -> Tuple[Array, Array]:
+    """[B, P, n, 3] + [B, P] -> ([B, P*n, 3], [B, P*n]) point-level mask."""
+    b, p, n, _ = deformed.shape
+    flat = deformed.reshape(b, p * n, 3)
+    mask = jnp.repeat(part_mask, n, axis=-1)
+    return flat, mask
+
+
+def assembly_chamfer_loss(deformed: Array, target: Array,
+                          target_parts: Array, target_parts_valid: Array,
+                          part_mask: Array) -> Tuple[Array, Array]:
+    """Full-shape + per-part Chamfer between deformed assembly and target.
+
+    Args:
+      deformed: [B, P, n, 3] deformed source parts.
+      target: [B, N, 3] target cloud.
+      target_parts: [B, P, m, 3] target points grouped by part.
+      target_parts_valid: [B, P, m] per-point validity of the grouping.
+      part_mask: [B, P] 1 where the target has that part.
+    Returns:
+      (full_loss scalar, part_loss scalar) — both means over the batch, the
+      part loss additionally a masked mean over parts (reference
+      ``chamfer_loss.py:22-27``).
+    """
+    b, p, n, _ = deformed.shape
+    flat, flat_mask = _flatten_parts(deformed, part_mask)
+    full = chamfer_distance(flat, target, flat_mask, None)  # [B]
+
+    # per part: fold parts into batch, masked both sides
+    m = target_parts.shape[2]
+    d = deformed.reshape(b * p, n, 3)
+    t = target_parts.reshape(b * p, m, 3)
+    d_mask = jnp.broadcast_to(part_mask[..., None], (b, p, n)).reshape(b * p, n)
+    t_mask = target_parts_valid.reshape(b * p, m)
+    # guard: fully-masked pairs produce garbage; zero them via part_mask below
+    per_part = chamfer_distance(d, t, d_mask, t_mask).reshape(b, p)
+    per_part = jnp.where(part_mask > 0, per_part, 0.0)
+    part = masked_mean(per_part, part_mask)  # [B]
+    return jnp.mean(full), jnp.mean(part)
+
+
+def symmetry_loss(deformed: Array, target: Array,
+                  target_parts: Array, target_parts_valid: Array,
+                  part_mask: Array) -> Tuple[Array, Array]:
+    """Chamfer of the x-reflected assembly (reference ``train.py:305-312``)."""
+    return assembly_chamfer_loss(get_symmetric(deformed), target,
+                                 target_parts, target_parts_valid, part_mask)
+
+
+def contrastive_loss(tgt_part_f: Array, src_f: Array, valid: Array,
+                     logit_scale: float = 1.0 / 0.07,
+                     axis_name: Optional[str] = None) -> Array:
+    """CLIP-style InfoNCE between target part features and source codes.
+
+    Reference ``contrast_loss.py:61-91``: features L2-normalized, logits
+    scaled by 1/0.07 (the reference re-creates the "learnable" scale every
+    call, so it is effectively a constant), diagonal labels, ignore-index -1
+    for masked parts.
+
+    Args:
+      tgt_part_f: [B, P, C] per-part target features.
+      src_f: [B, P, C] matched source latent codes.
+      valid: [B, P] 1 for parts with a usable pseudo-label, 0 to ignore
+        (the reference marks these -1).
+      axis_name: if set, negatives are gathered across this mapped axis
+        (shard_map / pmap path); under plain jit+GSPMD the global matmul is
+        already the all-gathered computation.
+    Returns scalar loss.
+    """
+    b, p, c = tgt_part_f.shape
+    t = tgt_part_f.reshape(b * p, c)
+    s = src_f.reshape(b * p, c)
+    v = valid.reshape(b * p)
+
+    # rsqrt(sum^2 + eps) normalization: NaN-free gradient even for the
+    # exactly-zero feature vectors that empty (masked) parts produce.
+    t = t * jax.lax.rsqrt(jnp.sum(t * t, axis=-1, keepdims=True) + 1e-12)
+    s = s * jax.lax.rsqrt(jnp.sum(s * s, axis=-1, keepdims=True) + 1e-12)
+
+    if axis_name is not None:
+        # negatives pool across data-parallel shards, labels offset by rank
+        # (replaces the reference's NCCL all_gather, contrast_loss.py:35-58)
+        s_all = jax.lax.all_gather(s, axis_name)          # [W, b*p, C]
+        s_all = s_all.reshape(-1, c)
+        rank = jax.lax.axis_index(axis_name)
+        labels = rank * (b * p) + jnp.arange(b * p)
+    else:
+        s_all = s
+        labels = jnp.arange(b * p)
+
+    logits = logit_scale * (t @ s_all.T)                  # [b*p, W*b*p]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return jnp.sum(nll * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+
+def residual_retrieval_loss(x: Array, deformed_flat: Array,
+                            deformed_mask: Array,
+                            residuals: Array) -> Tuple[Array, Array]:
+    """Residual-guided retrieval metric loss.
+
+    Reference ``basic_loss.py:249-267``: for each target point, find the
+    nearest point of the (detached) deformed assembly, then L1 of
+    ``x + residual - nn``, plus an L1 magnitude regularizer.  The per-sample
+    knn loop with ragged slicing becomes one masked batched knn.
+
+    Args:
+      x: [B, N, 3] target points.
+      deformed_flat: [B, P*n, 3] deformed assembly (caller detaches).
+      deformed_mask: [B, P*n] validity of assembly points.
+      residuals: [B, N, 3] predicted per-point residual vectors.
+    """
+    res = knn_points(x, deformed_flat, K=1, p2_mask=deformed_mask,
+                     return_nn=True)
+    nn = res.knn[:, :, 0, :]                              # [B, N, 3]
+    res_nn = x + residuals - nn
+    loss = jnp.mean(jnp.sum(jnp.abs(res_nn), axis=-1))
+    reg = jnp.mean(jnp.sum(jnp.abs(residuals), axis=-1))
+    return loss, reg
+
+
+def pc_consistency(pc1: Array, pc2: Array) -> Array:
+    """Mean squared point error (reference ``basic_consistency_loss.py:4-8``)."""
+    res = pc1 - pc2
+    return jnp.mean(jnp.sum(res * res, axis=-1))
+
+
+def pc_consistency_weighted(pc1: Array, pc2: Array, mask: Array) -> Array:
+    """Per-part masked reconstruction MSE (reference
+    ``basic_consistency_loss.py:10-22``).  pc1/pc2: [B, P, n, 3], mask [B, P].
+    """
+    res = pc1 - pc2
+    per_part = jnp.mean(jnp.sum(res * res, axis=-1), axis=-1)  # [B, P]
+    return jnp.sum(per_part * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def regularization_param(params: Array, part_mask: Array) -> Array:
+    """Mean L2 norm of the predicted 6-vectors over valid parts (reference
+    ``regularization_loss.py:49-52``)."""
+    norms = jnp.linalg.norm(params, axis=-1)              # [B, P]
+    return jnp.sum(norms * part_mask) / jnp.maximum(jnp.sum(part_mask), 1.0)
+
+
+def regularization_residuals(residuals: Array) -> Array:
+    """Mean L1 magnitude of residual vectors (reference
+    ``regularization_loss.py:24-28``)."""
+    return jnp.mean(jnp.sum(jnp.abs(residuals), axis=-1))

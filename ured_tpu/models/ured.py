@@ -1,0 +1,162 @@
+"""The assembled U-RED model: all seven trainable modules in one Flax tree.
+
+Mirrors the module set built by reference ``engine/train.py:get_models:39-101``
+(src/tgt encoders, two recon decoders, retrieval-residual decoder, the
+graph-attention deformation decoder, and the 42-class semantic embedding),
+with identical sub-tree names so checkpoints keep the reference's dm/re group
+granularity (``train.py:349-358``).
+
+The forward pass is the whole per-batch computation of the reference hot loop
+(``train.py:186-280``) as one fixed-shape function: per-part pooling is a
+segment mean, ragged part lists are masked dense tensors, and every module
+call is batched.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ured_tpu.config import URedConfig
+from ured_tpu.models.deformnet import DeformNetMatching, ResidualNet
+from ured_tpu.models.encoder import TargetEncoder
+from ured_tpu.ops.deform import (
+    gather_part_feature,
+    get_shape,
+    part_aabb,
+    part_segment_mean,
+)
+
+Array = jax.Array
+
+
+class URED(nn.Module):
+    """Joint retrieval + deformation model."""
+
+    cfg: URedConfig
+
+    def setup(self):
+        c = self.cfg
+        self.target_encoder_full = TargetEncoder(
+            embedding_size=c.target_latent_dim, sem_size=c.sem_latent_dim,
+            name="target_encoder_full")
+        self.src_encoder_all = TargetEncoder(
+            embedding_size=c.source_latent_dim, is_src=True,
+            sem_size=c.sem_latent_dim, name="src_encoder_all")
+        self.recon_decoder_full = ResidualNet(
+            c.target_latent_dim * 2, name="recon_decoder_full")
+        self.recon_decoder_src = ResidualNet(
+            c.source_latent_dim * 2, name="recon_decoder_src")
+        self.re_order_decoder_full = ResidualNet(
+            c.target_latent_dim * 2, name="re_order_decoder_full")
+        self.param_decoder_full = DeformNetMatching(
+            input_dim=c.source_latent_dim * 3,
+            graph_dim=c.source_latent_dim,
+            part_latent_dim=c.part_latent_dim,
+            max_num_parts=c.MAX_NUM_PARTS,
+            matching=False, name="param_decoder_full")
+        self.embedding_layer = nn.Embed(
+            c.num_semantic_classes, c.sem_latent_dim, name="embedding_layer")
+
+    # ---- individual stages (usable for eval / retrieval pipelines) ----
+
+    def encode_sources(self, src_points: Array, src_sem: Array,
+                       train: bool = True):
+        """src_points [B, P, n, 3], src_sem [B, P] int ->
+        (codes [B, P, C], per_point [B, P, n, C])."""
+        sem_f = self.embedding_layer(src_sem)
+        return self.src_encoder_all(src_points, sem_f, train=train)
+
+    def encode_target(self, x: Array, tgt_sem: Array, train: bool = True):
+        """x [B, N, 3], tgt_sem [B, N] int -> (code [B, C], pp [B, N, C])."""
+        sem_f = self.embedding_layer(tgt_sem)
+        return self.target_encoder_full(x, sem_f, train=train)
+
+    def source_recon(self, src_codes: Array, src_pp: Array,
+                     train: bool = True) -> Array:
+        """Reconstruct source parts from (global code, per-point feature)
+        (reference ``train.py:213-218``; code first in the concat)."""
+        b, p, n, c = src_pp.shape
+        code = jnp.broadcast_to(src_codes[:, :, None, :], (b, p, n, c))
+        inp = jnp.concatenate([code, src_pp], axis=-1).reshape(b * p, n, 2 * c)
+        out = self.recon_decoder_src(inp, train=train)
+        return out.reshape(b, p, n, 3)
+
+    def target_recon(self, tgt_code: Array, per_point: Array,
+                     train: bool = True) -> Array:
+        """Reference ``train.py:246-250``; per-point feature first."""
+        b, n, c = per_point.shape
+        code = jnp.broadcast_to(tgt_code[:, None, :], (b, n, c))
+        inp = jnp.concatenate([per_point, code], axis=-1)
+        return self.recon_decoder_full(inp, train=train)
+
+    def retrieval_residuals(self, per_point: Array, part_f: Array,
+                            labels: Array, train: bool = True) -> Array:
+        """Residual metric input: concat(per-point feature, its part's mean
+        feature) (reference ``train.py:124-126,257``)."""
+        part_of_point = gather_part_feature(part_f, labels)
+        inp = jnp.concatenate([per_point, part_of_point], axis=-1)
+        return self.re_order_decoder_full(inp, train=train)
+
+    def decode_params(self, tgt_code: Array, src_codes: Array,
+                      per_point: Optional[Array] = None,
+                      train: bool = True) -> Array:
+        return self.param_decoder_full(tgt_code, src_codes, per_point,
+                                       train=train)
+
+    # ---- full training forward (reference train.py:186-280) ----
+
+    def __call__(self, batch: Dict[str, Array], train: bool = True
+                 ) -> Dict[str, Array]:
+        """Runs every module on one batch.
+
+        batch keys:
+          x            [B, N, 3]  target clouds
+          labels       [B, N]     int part ids in [0, P)
+          tgt_sem      [B, N]     int semantic class per point
+          src_points   [B, P, n, 3] retrieved source parts
+          src_sem      [B, P]     int semantic class per source part
+          src_mat      [B, P, 3n, 6] parametric models of the sources
+        Returns a dict of every intermediate the losses need.
+        """
+        cfg = self.cfg
+        x = batch["x"]
+        labels = batch["labels"]
+        p_parts = cfg.MAX_NUM_PARTS
+
+        src_codes, src_pp = self.encode_sources(
+            batch["src_points"], batch["src_sem"], train=train)
+        recon_src = self.source_recon(src_codes, src_pp, train=train)
+
+        tgt_code, per_point = self.encode_target(
+            x, batch["tgt_sem"], train=train)
+
+        part_f, part_mask, _ = part_segment_mean(per_point, labels, p_parts)
+        param_def = part_aabb(x, labels, p_parts)
+
+        recon_full = self.target_recon(tgt_code, per_point, train=train)
+        re_residuals = self.retrieval_residuals(
+            per_point, part_f, labels, train=train)
+
+        params = self.decode_params(tgt_code, src_codes, per_point,
+                                    train=train)
+
+        deformed = get_shape(batch["src_mat"], params, param_def,
+                             alpha=cfg.alpha)
+
+        return {
+            "src_codes": src_codes,
+            "recon_src": recon_src,
+            "tgt_code": tgt_code,
+            "per_point": per_point,
+            "part_f": part_f,
+            "part_mask": part_mask,
+            "param_def": param_def,
+            "recon_full": recon_full,
+            "re_residuals": re_residuals,
+            "params": params,
+            "deformed": deformed,
+        }

@@ -1,0 +1,67 @@
+"""Sharded training step.
+
+Two equivalent paths:
+
+* **GSPMD (default)**: ``jit`` with batch sharded over ``dp`` and parameters
+  replicated; XLA inserts the gradient ``psum`` and the contrastive
+  all-gather automatically from the shardings.
+* **Explicit (shard_map)**: the per-device step runs under ``shard_map``
+  with hand-placed collectives — ``lax.pmean`` on grads and
+  ``lax.all_gather`` for the contrastive negatives pool (the TPU-native
+  replacement for the reference's NCCL hooks,
+  ``loss/contrast_loss.py:35-58``).  This is the path ``dryrun_multichip``
+  exercises since it proves the collectives themselves.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ured_tpu.config import URedConfig
+from ured_tpu.engine.train import TrainState, make_train_step
+from ured_tpu.models.ured import URED
+
+
+def shard_batch_specs(batch: Dict[str, Any]) -> Dict[str, P]:
+    """Every batch tensor is sharded along its leading (batch) axis."""
+    return {k: P("dp") for k in batch}
+
+
+def make_sharded_train_step(cfg: URedConfig, model: URED, tx, mesh: Mesh,
+                            explicit: bool = True):
+    """Build a jitted multi-device train step over ``mesh``.
+
+    With ``explicit=True`` the body runs under ``shard_map`` with manual
+    collectives over the ``dp`` axis; otherwise plain GSPMD jit.
+    Parameters/optimizer state are replicated; batch is dp-sharded.
+    """
+    if explicit:
+        inner = make_train_step(cfg, model, tx, axis_name="dp")
+
+        def spmd_step(state: TrainState, batch, epoch):
+            return jax.shard_map(
+                inner,
+                mesh=mesh,
+                in_specs=(P(), shard_batch_specs(batch), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(state, batch, epoch)
+
+        step = spmd_step
+    else:
+        step = make_train_step(cfg, model, tx, axis_name=None)
+
+    repl = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("dp"))
+
+    def place(state, batch, epoch):
+        state = jax.device_put(state, repl)
+        batch = {k: jax.device_put(v, dp) for k, v in batch.items()}
+        epoch = jax.device_put(jnp.asarray(epoch), repl)
+        return state, batch, epoch
+
+    return jax.jit(step), place

@@ -1,0 +1,56 @@
+"""Evaluation metrics.
+
+NDCG@k against DCD-derived relevance replaces the reference's sklearn-on-CPU
+scoring (``dataset/dataset_utils.py:cal_retrieval_score:1165-1176``); pure
+numpy so it has no sklearn dependency and can be vmapped later if needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def dcg_score(relevance: np.ndarray, k: int) -> float:
+    """DCG with the standard log2 discount over the first k entries."""
+    rel = np.asarray(relevance, dtype=np.float64)[:k]
+    discounts = 1.0 / np.log2(np.arange(2, rel.size + 2))
+    return float(np.sum(rel * discounts))
+
+
+def ndcg_score(true_relevance: np.ndarray, scores: np.ndarray,
+               k: int = 40) -> float:
+    """NDCG@k of ranking by ``scores`` against ``true_relevance``.
+
+    Matches sklearn.metrics.ndcg_score semantics for a single query.
+    """
+    true_relevance = np.asarray(true_relevance, dtype=np.float64)
+    order = np.argsort(-np.asarray(scores, dtype=np.float64))
+    ranked = true_relevance[order]
+    ideal = -np.sort(-true_relevance)
+    idcg = dcg_score(ideal, k)
+    if idcg <= 0:
+        return 0.0
+    return dcg_score(ranked, k) / idcg
+
+
+def dcd_relevance(distances: np.ndarray, sigma: float = 0.001) -> np.ndarray:
+    """exp(-d^2 / (2 sigma^2)) relevance from DCD distances (reference
+    ``dataset_utils.py:1173-1175``)."""
+    d = np.asarray(distances, dtype=np.float64)
+    return np.exp(-(d ** 2) / (2.0 * sigma ** 2))
+
+
+def retrieval_topk_accuracy(pred_top1: np.ndarray, dist_rows: np.ndarray,
+                            threshold: float, k: int = 10) -> float:
+    """Fraction of queries whose predicted source is within the DCD top-k
+    (under the distance threshold) or is the single best (reference
+    ``dataset_utils.py:get_labels_from_cl:1145-1161``)."""
+    correct = 0
+    n = pred_top1.shape[0]
+    for i in range(n):
+        order = np.argsort(dist_rows[i])[:k]
+        filtered = [j for j in order if dist_rows[i][j] < threshold]
+        if (len(filtered) and pred_top1[i] in filtered) \
+                or pred_top1[i] == order[0]:
+            correct += 1
+    return 100.0 * correct / max(n, 1)
