@@ -1,0 +1,225 @@
+"""Data-layer tests: I/O roundtrips, pair generation, preprocessing,
+clustering, dataset plumbing."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ured_tpu.config import URedConfig
+from ured_tpu.data import io, pairs, preprocessing
+from ured_tpu.data.clustering import deduplicate_sources
+from ured_tpu.data.parametric import aabbox_of_points, get_default_param
+from ured_tpu.data.partnet import PartNetDataset, SourceDB, load_sources
+from ured_tpu.data.vocab import LABEL_TO_IDX, label_id
+
+
+def test_part_h5_roundtrip(tmp_path, rng):
+    part = io.PartModel(
+        box_params=rng.normal(size=12),
+        default_param=rng.normal(size=6),
+        points=rng.normal(size=(32, 3)).astype(np.float32),
+        points_mat=rng.normal(size=(96, 6)).astype(np.float32),
+        sem_label="chair/chair_back/back_surface",
+        vertices=rng.normal(size=(10, 3)),
+        vertices_mat=rng.normal(size=(30, 6)),
+        faces=rng.integers(0, 10, size=(12, 3)),
+    )
+    p = str(tmp_path / "x_0.h5")
+    io.save_part_h5(p, part)
+    back = io.load_part_h5(p)
+    np.testing.assert_allclose(back.points, part.points)
+    assert back.sem_label == part.sem_label
+    assert back.faces.shape == (12, 3)
+
+
+def test_targets_h5_and_splits_roundtrip(tmp_path, rng):
+    pts = rng.normal(size=(3, 16, 3)).astype(np.float32)
+    lab = rng.integers(0, 4, size=(3, 16))
+    sem = rng.integers(0, 42, size=(3, 16))
+    ids = np.arange(3)
+    p = str(tmp_path / "targets.h5")
+    io.save_targets_h5(p, pts, lab, sem, ids)
+    d, l, s, m = io.load_targets_h5(p)
+    np.testing.assert_allclose(d, pts)
+
+    sp = str(tmp_path / "splits.pickle")
+    io.save_datasplits(sp, ["a", "b"], ["c"], ["d"])
+    src, train, test = io.load_datasplits(sp)
+    assert src == ["a", "b"] and train == ["c"] and test == ["d"]
+
+
+def test_obj_roundtrip(tmp_path, rng):
+    v = rng.normal(size=(5, 3))
+    f = np.array([[0, 1, 2], [2, 3, 4]])
+    p = str(tmp_path / "m.obj")
+    io.write_obj(p, v, f)
+    v2, f2 = io.read_obj(p)
+    np.testing.assert_allclose(v2, v, atol=1e-6)
+    np.testing.assert_array_equal(f2, f)
+
+
+def test_vocab():
+    assert len(LABEL_TO_IDX) == 42
+    assert label_id("chair/chair_back/back_surface") == \
+        LABEL_TO_IDX["back_surface"]
+
+
+def test_pair_matrix_matches_direct(rng):
+    q = rng.normal(size=(5, 24, 3)).astype(np.float32)
+    s = rng.normal(size=(7, 24, 3)).astype(np.float32)
+    out = pairs.pair_distance_matrix(q, s, chunk_q=2, chunk_s=3)
+    # direct single-pair computation for a few spot checks
+    import jax.numpy as jnp
+
+    from ured_tpu.ops.dcd import calc_dcd
+
+    for (i, j) in [(0, 0), (4, 6), (2, 5)]:
+        dcd, cd_p, cd_t = calc_dcd(jnp.asarray(q[i:i + 1]),
+                                   jnp.asarray(s[j:j + 1]))
+        np.testing.assert_allclose(out["dcd"][i, j], float(dcd[0]), rtol=1e-4)
+        np.testing.assert_allclose(out["cd_m"][i, j], float(cd_t[0]),
+                                   rtol=1e-4)
+
+
+def test_build_label_table_semantics():
+    # 2 targets x 2 parts, 4 sources; distances crafted so that:
+    # part (0,0): nearest source 1 is wrong-sem, source 0 right-sem -> 0
+    cd_m = np.zeros((2, 2, 4), np.float32)
+    cd_m[0, 0] = [0.005, 0.001, 0.5, 0.5]
+    cd_m[0, 1] = [0.5, 0.5, 0.003, 0.5]
+    cd_m[1, 0] = [0.5, 0.5, 0.5, 0.004]
+    cd_m[1, 1] = [0.9, 0.9, 0.9, 0.9]   # nothing under threshold
+    part_valid = np.array([[1, 1], [1, 1]], np.float32)
+    part_sems = np.array([[10, 11], [12, 12]], np.int32)
+    source_sems = np.array([10, 99, 11, 12], np.int32)
+    table = pairs.build_label_table(
+        cd_m, part_valid, part_sems, source_sems,
+        threshold=0.02, dist_src=None, cl_k=2)
+    assert table[0, 0] == 0          # semantic match preferred
+    assert table[0, 1] == 2
+    assert table[1, 0] == 3
+    assert table[1, 1] == 0          # fallback: global nearest (index 0)
+
+
+def test_label_table_similarity_mask():
+    # two parts of one target pick sources 0 and 1 which are mutual top-k
+    # neighbors -> the second gets masked
+    cd_m = np.zeros((1, 2, 3), np.float32)
+    cd_m[0, 0] = [0.001, 0.5, 0.9]
+    cd_m[0, 1] = [0.5, 0.001, 0.9]
+    part_valid = np.ones((1, 2), np.float32)
+    part_sems = np.array([[5, 5]], np.int32)
+    source_sems = np.array([5, 5, 5], np.int32)
+    dist_src = np.array([[0.0, 0.01, 10.0],
+                         [0.01, 0.0, 10.0],
+                         [10.0, 10.0, 0.0]], np.float32)
+    # cl_k=2 because each source's top-1 neighbor is itself (distance 0),
+    # exactly as in the reference's dist_src matrices
+    table = pairs.build_label_table(
+        cd_m, part_valid, part_sems, source_sems,
+        threshold=0.02, dist_src=dist_src, cl_k=2)
+    assert table[0, 0] == 0
+    assert table[0, 1] == -1
+
+
+def _box_mesh():
+    v = np.array([[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)],
+                 np.float64)
+    f = np.array([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]])
+    return v, f
+
+
+def test_preprocess_shape_roundtrip(tmp_path):
+    # two touching unit boxes -> connectivity detected, A @ x0 == points
+    v1, f1 = _box_mesh()
+    v2 = v1 + np.array([1.0, 0, 0])  # shares the x=1 face
+    hier = {"id": 0, "label": "chair",
+            "children": [{"id": 1, "label": "chair_seat"},
+                         {"id": 2, "label": "chair_back"}]}
+    hp = str(tmp_path / "h.json")
+    with open(hp, "w") as f:
+        json.dump(hier, f)
+
+    parts, c, proj = preprocessing.process_shape(
+        hp, None, None, points_per_part=256,
+        meshes=[(v1, f1), (v2, f1)], adjacency_tol=0.1)
+    assert len(parts) == 2
+    for p in parts:
+        rec = (p.points_mat @ p.default_param).reshape(-1, 3)
+        np.testing.assert_allclose(rec, p.points, atol=1e-10)
+        # sampled points lie inside the part's AABB
+        box = p.box
+        lo = box[:3] - box[3:6] / 2 - 1e-9
+        hi = box[:3] + box[3:6] / 2 + 1e-9
+        assert (p.points >= lo).all() and (p.points <= hi).all()
+    # the two boxes touch -> at least one joint constraint
+    assert c.shape[0] >= 3
+    # projector is idempotent and respects C @ proj ~ 0
+    np.testing.assert_allclose(proj @ proj, proj, atol=1e-8)
+    np.testing.assert_allclose(c @ proj, 0.0, atol=1e-8)
+
+    paths = preprocessing.save_parts(str(tmp_path / "h5"), "42", parts)
+    assert len(paths) == 2
+    labels = {io.load_part_h5(p).sem_label for p in paths}
+    assert labels == {"chair/chair_seat", "chair/chair_back"}
+
+
+def test_keypoints_and_separating_axis():
+    box = np.zeros(12)
+    box[3:6] = [2.0, 4.0, 6.0]
+    box[6:9] = [1, 0, 0]
+    box[9:12] = [0, 1, 0]
+    kps = preprocessing.box_keypoints(box)
+    assert kps.shape == (26, 3)
+    assert np.abs(kps).max() == 3.0  # half of the largest extent
+    p1 = np.array([[0, 0, 0], [1, 1, 1.0]])
+    p2 = np.array([[0, 0, 2.0], [1, 1, 3.0]])
+    assert preprocessing.separating_axis(p1, p2) == 2
+
+
+def test_clustering_dedup():
+    # three tight groups of 4 -> 3 medoids, one per group
+    rng = np.random.default_rng(0)
+    base = np.repeat(np.array([[0.0], [10.0], [20.0]]), 4, axis=0)
+    x = base + 0.1 * rng.normal(size=(12, 1))
+    dist = np.abs(x - x.T)
+    reps, labels = deduplicate_sources(dist, n_clusters=3)
+    assert len(reps) == 3
+    groups = {tuple(sorted(np.where(labels == c)[0]))
+              for c in np.unique(labels)}
+    assert groups == {(0, 1, 2, 3), (4, 5, 6, 7), (8, 9, 10, 11)}
+
+
+def test_partnet_dataset_from_h5(tmp_path, rng):
+    cfg = URedConfig(base_dir=str(tmp_path), category="chair", num_source=4,
+                     MAX_NUM_PARTS=4)
+    os.makedirs(str(tmp_path / "generated_datasplits"))
+    pts = rng.normal(size=(6, 32, 3)).astype(np.float32)
+    lab = rng.integers(0, 3, size=(6, 32))
+    sem = rng.integers(0, 42, size=(6, 32))
+    io.save_targets_h5(
+        str(tmp_path / "generated_datasplits" / "chair_4_train.h5"),
+        pts, lab, sem, np.arange(6))
+    ds = PartNetDataset.from_h5(cfg)
+    assert len(ds) == 6
+    batches = list(ds.batches(4, np.random.default_rng(0)))
+    assert len(batches) == 1
+    assert batches[0]["x"].shape == (4, 32, 3)
+
+    # with a label table + source db, batches carry source tensors
+    db = SourceDB(
+        points=rng.normal(size=(4, 16, 3)).astype(np.float32),
+        mats=rng.normal(size=(4, 48, 6)).astype(np.float32),
+        default_params=rng.normal(size=(4, 6)).astype(np.float32),
+        sem_ids=np.zeros(4, np.int32), sem_labels=["leg"] * 4,
+        model_ids=["a", "b", "c", "d"])
+    table = rng.integers(-1, 4, size=(6, 4))
+    ds.attach_label_table(table)
+    batch = ds.make_batch(np.arange(2), db)
+    assert batch["src_points"].shape == (2, 4, 16, 3)
+    assert batch["src_valid"].shape == (2, 4)

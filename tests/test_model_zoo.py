@@ -1,0 +1,176 @@
+"""Model-zoo tests: VN equivariance/invariance, GCN3D, PointNet/PointNet++,
+legacy nets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ured_tpu.models.gcn3d import GCN3DEncoder
+from ured_tpu.models.legacy import (
+    DeformNetDesign1,
+    DeformNetDesign2,
+    MLPPositionalEncoding,
+    ReNetwork,
+)
+from ured_tpu.models.pointnet import (
+    FeaturePropagation,
+    PointNet2ClsMSG,
+    PointNet2ClsSSG,
+    PointNet2SegSSG,
+    PointNetCls,
+    PointNetSeg,
+    feature_transform_regularizer,
+)
+from ured_tpu.models.vn import (
+    VNEncoder,
+    VNLeakyReLU,
+    VNLinear,
+    VNLinearLeakyReLU,
+    VNMaxPool,
+    VNStdFeature,
+)
+
+
+def _rot(rng):
+    from scipy.spatial.transform import Rotation
+
+    return jnp.asarray(
+        Rotation.random(random_state=int(rng.integers(1 << 16)))
+        .as_matrix(), jnp.float32)
+
+
+def _apply_rot(x, r):
+    return jnp.einsum("...v,wv->...w", x, r)
+
+
+def test_vn_linear_equivariance(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 4, 3)), jnp.float32)
+    r = _rot(rng)
+    m = VNLinear(6)
+    v = m.init(jax.random.PRNGKey(0), x)
+    out_rot = m.apply(v, _apply_rot(x, r))
+    rot_out = _apply_rot(m.apply(v, x), r)
+    np.testing.assert_allclose(np.asarray(out_rot), np.asarray(rot_out),
+                               atol=1e-5)
+
+
+def test_vn_leakyrelu_equivariance(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 4, 3)), jnp.float32)
+    r = _rot(rng)
+    m = VNLeakyReLU()
+    v = m.init(jax.random.PRNGKey(0), x)
+    out_rot = m.apply(v, _apply_rot(x, r))
+    rot_out = _apply_rot(m.apply(v, x), r)
+    np.testing.assert_allclose(np.asarray(out_rot), np.asarray(rot_out),
+                               atol=1e-4)
+
+
+def test_vn_block_and_maxpool_equivariance(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 4, 3)), jnp.float32)
+    r = _rot(rng)
+    m = VNLinearLeakyReLU(6, use_batchnorm=False)
+    v = m.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(m.apply(v, _apply_rot(x, r))),
+        np.asarray(_apply_rot(m.apply(v, x), r)), atol=1e-4)
+
+    mp = VNMaxPool()
+    vp = mp.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(mp.apply(vp, _apply_rot(x, r))),
+        np.asarray(_apply_rot(mp.apply(vp, x), r)), atol=1e-4)
+
+
+def test_vn_std_feature_invariance(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)), jnp.float32)
+    r = _rot(rng)
+    m = VNStdFeature(use_batchnorm=False)
+    v = m.init(jax.random.PRNGKey(0), x)
+    inv1, _ = m.apply(v, x)
+    inv2, _ = m.apply(v, _apply_rot(x, r))
+    np.testing.assert_allclose(np.asarray(inv1), np.asarray(inv2), atol=1e-4)
+
+
+def test_vn_encoder_shapes(rng):
+    pts = jnp.asarray(rng.normal(size=(2, 64, 3)), jnp.float32)
+    m = VNEncoder(embedding_size=32, k=8)
+    v = m.init(jax.random.PRNGKey(0), pts, train=False)
+    (g, pp), _ = m.apply(v, pts, train=True, mutable=["batch_stats"])
+    assert g.shape == (2, 32)
+    assert pp.shape == (2, 64, 32)
+
+
+def test_gcn3d_encoder(rng):
+    pts = jnp.asarray(rng.normal(size=(2, 64, 3)), jnp.float32)
+    m = GCN3DEncoder(global_dim=32, per_point_dim=16, neighbor_num=8)
+    v = m.init(jax.random.PRNGKey(0), pts, train=False)
+    g, pp = m.apply(v, pts, train=False)
+    assert g.shape == (2, 32)
+    assert pp.shape == (2, 64, 16)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_pointnet_cls_seg(rng):
+    pts = jnp.asarray(rng.normal(size=(2, 64, 3)), jnp.float32)
+    m = PointNetCls(num_classes=10)
+    v = m.init(jax.random.PRNGKey(0), pts, train=False)
+    logp, trans_feat = m.apply(v, pts, train=False)
+    assert logp.shape == (2, 10)
+    np.testing.assert_allclose(np.exp(np.asarray(logp)).sum(-1), 1.0,
+                               rtol=1e-4)
+    assert float(feature_transform_regularizer(trans_feat)) >= 0
+
+    s = PointNetSeg(num_classes=5)
+    vs = s.init(jax.random.PRNGKey(0), pts, train=False)
+    logp, _ = s.apply(vs, pts, train=False)
+    assert logp.shape == (2, 64, 5)
+
+
+@pytest.mark.parametrize("cls", [PointNet2ClsSSG, PointNet2ClsMSG])
+def test_pointnet2_cls(rng, cls):
+    pts = jnp.asarray(rng.normal(size=(2, 512, 3)), jnp.float32)
+    m = cls(num_classes=7)
+    v = m.init(jax.random.PRNGKey(0), pts, train=False)
+    logp = m.apply(v, pts, train=False)
+    assert logp.shape == (2, 7)
+    assert np.isfinite(np.asarray(logp)).all()
+
+
+def test_pointnet2_seg(rng):
+    pts = jnp.asarray(rng.normal(size=(2, 256, 3)), jnp.float32)
+    m = PointNet2SegSSG(num_classes=6)
+    v = m.init(jax.random.PRNGKey(0), pts, train=False)
+    logp = m.apply(v, pts, train=False)
+    assert logp.shape == (2, 256, 6)
+
+
+def test_re_network(rng):
+    src = jnp.asarray(rng.normal(size=(2, 64, 3)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(2, 64, 3)), jnp.float32)
+    m = ReNetwork(latent_dim=32, k_neighbors=8)
+    v = m.init(jax.random.PRNGKey(0), src, tgt, train=False)
+    score, _ = m.apply(v, src, tgt, train=True, mutable=["batch_stats"])
+    assert score.shape == (2, 1)
+    assert (np.asarray(score) > 0).all() and (np.asarray(score) < 1).all()
+
+
+def test_legacy_deform_designs(rng):
+    b, p, c = 2, 6, 16
+    g = jnp.asarray(rng.normal(size=(b, c)), jnp.float32)
+    t = jnp.asarray(rng.normal(size=(b, c)), jnp.float32)
+    parts = jnp.asarray(rng.normal(size=(b, p, c)), jnp.float32)
+    for cls in (DeformNetDesign1, DeformNetDesign2):
+        m = cls()
+        v = m.init(jax.random.PRNGKey(0), g, t, parts, train=False)
+        out = m.apply(v, g, t, parts, train=False)
+        assert out.shape == (b, p, 6)
+
+
+def test_positional_encoding(rng):
+    kpts = jnp.asarray(rng.normal(size=(2, 10, 2)), jnp.float32)
+    side = jnp.asarray(rng.normal(size=(2, 10, 3)), jnp.float32)
+    m = MLPPositionalEncoding(embed_dim=16)
+    v = m.init(jax.random.PRNGKey(0), kpts, side)
+    out = m.apply(v, kpts, side)
+    assert out.shape == (2, 10, 16)

@@ -1,0 +1,151 @@
+"""Pseudo-ground-truth generation: pairwise DCD distances + label tables.
+
+Replaces the reference's offline stage 3 (``engine/generate_pair.py``:
+joblib over 48 processes, one CUDA DCD call per (part, source) pair, one
+pickle per part) with a single tiled on-device job: the full
+[Q, S] x {dcd, cd_s, cd_m} distance tensor is computed in jitted chunks
+(each chunk is one batched chamfer over bq*bs pairs riding the MXU), then
+the pseudo-label selection of ``dataset_utils.py:get_labels:1101-1143`` —
+top-k by cd_m, distance threshold, semantic agreement, mutual-similarity
+masking — runs once over the whole corpus instead of per training step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ured_tpu.ops.dcd import calc_dcd
+
+Array = jax.Array
+
+
+@partial(jax.jit, static_argnames=("alpha",))
+def _pair_chunk(q: Array, s: Array, alpha: float = 1000.0):
+    """q [bq, n, 3], s [bs, m, 3] -> (dcd, cd_s, cd_m) each [bq, bs]."""
+    bq, n, _ = q.shape
+    bs, m, _ = s.shape
+    qq = jnp.repeat(q, bs, axis=0)                    # [bq*bs, n, 3]
+    ss = jnp.tile(s, (bq, 1, 1))                      # [bq*bs, m, 3]
+    dcd, cd_p, cd_t = calc_dcd(qq, ss, alpha=alpha)
+    return (dcd.reshape(bq, bs), cd_p.reshape(bq, bs),
+            cd_t.reshape(bq, bs))
+
+
+def pair_distance_matrix(queries: np.ndarray, sources: np.ndarray,
+                         chunk_q: int = 16, chunk_s: int = 64,
+                         alpha: float = 1000.0) -> Dict[str, np.ndarray]:
+    """Full pair-distance tensor between query parts and source parts.
+
+    queries [Q, n, 3], sources [S, m, 3] -> {'dcd', 'cd_s', 'cd_m'} [Q, S]
+    (the reference's per-part pickle keys, ``generate_pair.py:82``).
+    """
+    q_n, s_n = queries.shape[0], sources.shape[0]
+    out = {k: np.zeros((q_n, s_n), np.float32)
+           for k in ("dcd", "cd_s", "cd_m")}
+    src_dev = jnp.asarray(sources)
+    for i in range(0, q_n, chunk_q):
+        qi = jnp.asarray(queries[i:i + chunk_q])
+        pad_q = chunk_q - qi.shape[0]
+        if pad_q:
+            qi = jnp.pad(qi, ((0, pad_q), (0, 0), (0, 0)))
+        for j in range(0, s_n, chunk_s):
+            sj = src_dev[j:j + chunk_s]
+            pad_s = chunk_s - sj.shape[0]
+            if pad_s:
+                sj = jnp.pad(sj, ((0, pad_s), (0, 0), (0, 0)))
+            dcd, cd_s, cd_m = _pair_chunk(qi, sj, alpha)
+            bq = chunk_q - pad_q
+            bs = chunk_s - pad_s
+            out["dcd"][i:i + bq, j:j + bs] = np.asarray(dcd)[:bq, :bs]
+            out["cd_s"][i:i + bq, j:j + bs] = np.asarray(cd_s)[:bq, :bs]
+            out["cd_m"][i:i + bq, j:j + bs] = np.asarray(cd_m)[:bq, :bs]
+    return out
+
+
+def source_pair_matrix(sources: np.ndarray, chunk: int = 32,
+                       alpha: float = 1000.0) -> np.ndarray:
+    """Symmetric source-to-source cd_m matrix (reference ``get_src_pair``;
+    consumed as ``dist_src`` by the similarity mask)."""
+    d = pair_distance_matrix(sources, sources, chunk, chunk, alpha)["cd_m"]
+    return (d + d.T) / 2.0
+
+
+def _mutual_similarity_mask(selected: np.ndarray, dist_src: np.ndarray,
+                            cl_k: int) -> np.ndarray:
+    """True for parts whose selected source is mutually within the top-cl_k
+    of an *earlier* part's selection (reference ``mask_label:1077-1086`` /
+    ``check_similarity:1070-1075``)."""
+    k = len(selected)
+    masked = np.zeros(k, bool)
+    if dist_src is None:
+        return masked
+    ranks = {}
+    for lab in set(int(x) for x in selected):
+        kk = min(cl_k, dist_src.shape[1] - 1)
+        ranks[lab] = set(np.argpartition(dist_src[lab], kk)[:kk].tolist())
+    for i in range(k):
+        for j in range(i + 1, k):
+            a, b = int(selected[i]), int(selected[j])
+            if a in ranks[b] and b in ranks[a]:
+                masked[j] = True
+    return masked
+
+
+def build_label_table(cd_m: np.ndarray, part_valid: np.ndarray,
+                      part_sems: np.ndarray, source_sems: np.ndarray,
+                      threshold: float, dist_src: Optional[np.ndarray],
+                      cl_k: int, topk: int = 10) -> np.ndarray:
+    """Pseudo-label selection for every (target, part).
+
+    Args:
+      cd_m: [T, P, S] part-to-source distances.
+      part_valid: [T, P] 1 where the target has the part.
+      part_sems: [T, P] semantic class per part.
+      source_sems: [S] semantic class per source.
+      threshold: distance filter (cfg.filter_threshold).
+      dist_src: [S, S] source pairwise distances for similarity masking.
+      cl_k: similarity-mask neighborhood size (cfg.cl_k).
+    Returns:
+      [T, P] int64 source index, -1 for absent or masked parts.
+    """
+    t, p, s = cd_m.shape
+    table = np.full((t, p), -1, np.int64)
+    for ti in range(t):
+        chosen = []
+        slots = []
+        for pi in range(p):
+            if part_valid[ti, pi] <= 0:
+                continue
+            order = np.argsort(cd_m[ti, pi])[:topk]
+            dists = cd_m[ti, pi][order]
+            close = [int(order[i]) for i in range(len(order))
+                     if dists[i] < threshold]
+            same_sem = [lab for lab in close
+                        if source_sems[lab] == part_sems[ti, pi]]
+            if same_sem:
+                pick = same_sem[0]
+            elif close:
+                pick = close[0]
+            else:
+                pick = int(order[0])
+            chosen.append(pick)
+            slots.append(pi)
+        masked = _mutual_similarity_mask(np.asarray(chosen), dist_src, cl_k)
+        for k, pi in enumerate(slots):
+            table[ti, pi] = -1 if masked[k] else chosen[k]
+    return table
+
+
+def save_pair_archive(path: str, matrices: Dict[str, np.ndarray]) -> None:
+    """One compressed npz instead of the reference's pickle-per-part."""
+    np.savez_compressed(path, **matrices)
+
+
+def load_pair_archive(path: str) -> Dict[str, np.ndarray]:
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}

@@ -1,0 +1,167 @@
+"""Point-cloud completion models (the vendored DCD benchmark's model zoo).
+
+Capability ports of reference ``Density_aware_Chamfer_Distance/models/``:
+
+  * ``PCN``      <- ``models/pcn.py`` (127 LoC): PointNet-ish encoder,
+    coarse fully-connected decoder + folding refinement.
+  * ``VRCNet``   <- ``models/vrcnet.py`` (540 LoC): self-attention /
+    selective-kernel point blocks with a coarse-to-fine relational decoder
+    (represented here by the SA/SK modules + a two-stage refinement head).
+  * ``PointDiscriminator`` <- ``models/vrcnet_plus.py:Point_Discriminator:
+    617`` for the GAN training path.
+
+All channels-last, fixed shapes, MXU-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ured_tpu.models.ffn import ConvBNRelu
+from ured_tpu.ops.sampling import farthest_point_sample, gather_points
+
+Array = jax.Array
+
+
+class PCNEncoder(nn.Module):
+    """Two-stage PointNet encoder with global-feature reinjection."""
+
+    latent_dim: int = 1024
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = nn.relu(nn.Dense(128)(x))
+        h = nn.Dense(256)(h)
+        g = jnp.max(h, axis=1, keepdims=True)
+        h = jnp.concatenate(
+            [h, jnp.broadcast_to(g, h.shape)], axis=-1)
+        h = nn.relu(nn.Dense(512)(h))
+        h = nn.Dense(self.latent_dim)(h)
+        return jnp.max(h, axis=1)
+
+
+class PCN(nn.Module):
+    """PCN completion: coarse FC decoder + folding refinement."""
+
+    num_coarse: int = 512
+    grid_size: int = 2   # each coarse point unfolds to grid_size^2 points
+    latent_dim: int = 1024
+
+    @nn.compact
+    def __call__(self, partial: Array, train: bool = True
+                 ) -> Tuple[Array, Array]:
+        b = partial.shape[0]
+        code = PCNEncoder(self.latent_dim)(partial)
+
+        h = nn.relu(nn.Dense(1024)(code))
+        h = nn.relu(nn.Dense(1024)(h))
+        coarse = nn.Dense(self.num_coarse * 3)(h).reshape(
+            b, self.num_coarse, 3)
+
+        g2 = self.grid_size ** 2
+        n_fine = self.num_coarse * g2
+        lin = jnp.linspace(-0.05, 0.05, self.grid_size)
+        grid = jnp.stack(jnp.meshgrid(lin, lin, indexing="ij"),
+                         -1).reshape(1, 1, g2, 2)
+        grid = jnp.broadcast_to(grid, (b, self.num_coarse, g2, 2))
+        center = jnp.repeat(coarse[:, :, None, :], g2, axis=2)
+        code_exp = jnp.broadcast_to(
+            code[:, None, None, :],
+            (b, self.num_coarse, g2, self.latent_dim))
+        feat = jnp.concatenate([grid, center, code_exp], axis=-1)
+        feat = feat.reshape(b, n_fine, -1)
+        h = nn.relu(nn.Dense(512)(feat))
+        h = nn.relu(nn.Dense(512)(h))
+        fine = nn.Dense(3)(h) + center.reshape(b, n_fine, 3)
+        return coarse, fine
+
+
+class SAModule(nn.Module):
+    """Point self-attention block (ref ``vrcnet.py:SA_module:15``)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        q = nn.Dense(self.channels // 4)(x)
+        k = nn.Dense(self.channels // 4)(x)
+        v = nn.Dense(self.channels)(x)
+        attn = jax.nn.softmax(
+            jnp.einsum("bnc,bmc->bnm", q, k,
+                       preferred_element_type=jnp.float32)
+            * (q.shape[-1] ** -0.5), axis=-1)
+        out = jnp.einsum("bnm,bmc->bnc", attn, v)
+        return nn.relu(x + nn.Dense(self.channels)(out))
+
+
+class SKSAModule(nn.Module):
+    """Selective-kernel fusion of two attention branches
+    (ref ``vrcnet.py:SK_SA_module:102``)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b1 = SAModule(self.channels)(x)
+        b2 = nn.relu(nn.Dense(self.channels)(x))
+        u = jnp.mean(b1 + b2, axis=1)                 # [B, C]
+        z = nn.relu(nn.Dense(self.channels // 4)(u))
+        a = nn.Dense(2 * self.channels)(z).reshape(
+            -1, 2, self.channels)
+        w = jax.nn.softmax(a, axis=1)
+        return w[:, None, 0] * b1 + w[:, None, 1] * b2
+
+
+class VRCNet(nn.Module):
+    """Variational-relational completion net (capability port of
+    ``vrcnet.py:Model:406``): SK-SA encoder, coarse sampling skeleton,
+    attention-refined dense output."""
+
+    num_coarse: int = 256
+    up_factor: int = 4
+    latent_dim: int = 512
+
+    @nn.compact
+    def __call__(self, partial: Array, train: bool = True
+                 ) -> Tuple[Array, Array]:
+        b, n, _ = partial.shape
+        h = nn.relu(nn.Dense(128)(partial))
+        h = SKSAModule(128)(h)
+        h = nn.relu(nn.Dense(256)(h))
+        h = SKSAModule(256)(h)
+        code = jnp.max(nn.Dense(self.latent_dim)(h), axis=1)
+
+        # coarse skeleton from the code
+        g = nn.relu(nn.Dense(1024)(code))
+        coarse = nn.Dense(self.num_coarse * 3)(g).reshape(
+            b, self.num_coarse, 3)
+
+        # refine: concat coarse points + code, attention, offset regression
+        code_exp = jnp.broadcast_to(
+            code[:, None, :], (b, self.num_coarse, self.latent_dim))
+        f = jnp.concatenate([coarse, code_exp], axis=-1)
+        f = nn.relu(nn.Dense(256)(f))
+        f = SAModule(256)(f)
+        up = nn.Dense(self.up_factor * 3)(f).reshape(
+            b, self.num_coarse * self.up_factor, 3)
+        center = jnp.repeat(coarse, self.up_factor, axis=1)
+        fine = center + 0.1 * jnp.tanh(up)
+        return coarse, fine
+
+
+class PointDiscriminator(nn.Module):
+    """Point-cloud discriminator for adversarial completion training
+    (ref ``vrcnet_plus.py:Point_Discriminator:617``)."""
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        h = nn.relu(nn.Dense(64)(x))
+        h = nn.relu(nn.Dense(128)(h))
+        h = nn.Dense(256)(h)
+        g = jnp.max(h, axis=1)
+        g = nn.relu(nn.Dense(128)(g))
+        return nn.Dense(1)(g)
