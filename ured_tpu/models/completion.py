@@ -37,9 +37,12 @@ class PCNEncoder(nn.Module):
         h = nn.relu(nn.Dense(128)(x))
         h = nn.Dense(256)(h)
         g = jnp.max(h, axis=1, keepdims=True)
-        h = jnp.concatenate(
-            [h, jnp.broadcast_to(g, h.shape)], axis=-1)
-        h = nn.relu(nn.Dense(512)(h))
+        # Dense over concat(h, broadcast(g)) expressed as a sum of two Dense
+        # paths — equivalent math, but avoids a broadcast+concat fusion that
+        # crashes the TPU backend compiler (fusion_util TransformWindow
+        # check) on [B, N, C] shapes.
+        h = nn.relu(nn.Dense(512, name="local")(h) +
+                    nn.Dense(512, name="global")(g))
         h = nn.Dense(self.latent_dim)(h)
         return jnp.max(h, axis=1)
 

@@ -63,6 +63,20 @@ def _nn_one_direction(x, y, y_mask):
     return dist, idx
 
 
+def _pallas_eligible(x: Array, y: Array) -> bool:
+    """Use the fused Pallas kernel on TPU when tile constraints hold."""
+    if x.ndim != 3 or x.shape[-1] != 3:
+        return False
+    n, m = x.shape[1], y.shape[1]
+    tn = min(512, n)
+    if n % tn or n < 128 or m % 128:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
 @jax.custom_vjp
 def nn_distance(x: Array, y: Array, x_mask: Array, y_mask: Array):
     """Bidirectional nearest neighbors (masked).
@@ -73,6 +87,10 @@ def nn_distance(x: Array, y: Array, x_mask: Array, y_mask: Array):
     neighbors; distances *from* invalid points are still produced and must be
     excluded by the caller's reduction (the masks gate gradients here).
 
+    On TPU with tile-aligned shapes the forward runs as a fused Pallas
+    kernel (``chamfer_pallas.py``) that never materializes the [N, M]
+    matrix; elsewhere it falls back to the XLA matmul+min path.
+
     Args:
       x: [B, N, D] points.
       y: [B, M, D] points.
@@ -82,6 +100,10 @@ def nn_distance(x: Array, y: Array, x_mask: Array, y_mask: Array):
       (dist1 [B, N], idx1 [B, N], dist2 [B, M], idx2 [B, M]) where
       dist1/idx1 map x -> nearest y and dist2/idx2 map y -> nearest x.
     """
+    if _pallas_eligible(x, y):
+        from ured_tpu.ops.chamfer_pallas import nn_distance_pallas
+
+        return nn_distance_pallas(x, y, x_mask, y_mask)
     dist1, idx1 = _nn_one_direction(x, y, y_mask)
     dist2, idx2 = _nn_one_direction(y, x, x_mask)
     return dist1, idx1, dist2, idx2
