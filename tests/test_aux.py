@@ -1,0 +1,160 @@
+"""Tests for splits, vis/QA, geometry utils, dcd_full, retrieval extras,
+logging."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ured_tpu.config import URedConfig
+from ured_tpu.data import io, synthetic
+from ured_tpu.data.splits import (
+    collect_sources_and_target_splits,
+    pack_targets_h5,
+)
+from ured_tpu.engine.vis import retrieval_qa, run_vis
+from ured_tpu.models.ured import URED
+from ured_tpu.ops.dcd import calc_dcd, calc_dcd_full
+from ured_tpu.utils.geometry import connected_components, estimate_normals
+from ured_tpu.utils.logging import MetricWriter, StepTimer
+from ured_tpu.utils.retrieval_extras import (
+    compute_mahalanobis,
+    make_autodecoder_optimizer,
+    select_sources,
+)
+
+
+def test_splits_disjoint_and_sized():
+    src_ids = [f"s{i}" for i in range(20)]
+    tgt_ids = [f"t{i}" for i in range(40)] + ["s0", "s1"]
+    out = collect_sources_and_target_splits(src_ids, tgt_ids,
+                                            num_sources=5, seed=0)
+    assert len(out["sources"]) == 5
+    all_t = set(out["train"]) | set(out["test"])
+    assert not (all_t & set(out["sources"]))
+    assert len(out["train"]) + len(out["test"]) == len(all_t)
+    assert abs(len(out["train"]) - 0.8 * len(all_t)) <= 1
+
+
+def test_pack_targets_h5(tmp_path, rng):
+    def loader(model):
+        if model == "missing":
+            return None
+        return (rng.normal(size=(32, 3)).astype(np.float32),
+                rng.integers(0, 3, size=32),
+                rng.integers(0, 42, size=32))
+
+    out = str(tmp_path / "t.h5")
+    n = pack_targets_h5(["a", "missing", "b"], "", out, loader=loader)
+    assert n == 2
+    d, l, s, m = io.load_targets_h5(out)
+    assert d.shape == (2, 32, 3)
+
+
+def test_retrieval_qa():
+    top = np.array([[0, 1], [2, 3]])
+    qsem = np.array([5, 7])
+    ssem = np.array([5, 9, 7, 7])
+    out = retrieval_qa(top, qsem, ssem, k=2)
+    assert out["top1_semantic_mismatch_rate"] == 0.0
+    assert out["topk_semantic_mismatch_rate"] == pytest.approx(0.25)
+
+
+def test_run_vis_exports(tmp_path):
+    cfg = URedConfig(batch_size=2, MAX_NUM_PARTS=8, num_target_points=128,
+                     num_part_points=32, sem_latent_dim=8,
+                     source_latent_dim=16, target_latent_dim=16,
+                     part_latent_dim=16)
+    data = synthetic.generate(num_targets=2, num_sources=6, n_points=128,
+                              points_per_part=32, max_parts=8, seed=0)
+    model = URED(cfg)
+    batch = {k: jnp.asarray(v) for k, v in synthetic.make_batch(
+        data, np.arange(2), 8).items()}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    metrics = run_vis(cfg, model, variables, data, data,
+                      str(tmp_path / "vis"), max_targets=2)
+    assert np.isfinite(metrics["best_full_cd_loss"])
+    files = os.listdir(str(tmp_path / "vis"))
+    assert any(f.endswith(".ply") for f in files)  # points-only export
+
+
+def test_estimate_normals_plane(rng):
+    pts = np.zeros((64, 3))
+    pts[:, :2] = rng.uniform(-1, 1, size=(64, 2))
+    normals = estimate_normals(pts, k=8)
+    np.testing.assert_allclose(np.abs(normals[:, 2]), 1.0, atol=1e-6)
+
+
+def test_connected_components():
+    a = np.zeros((10, 3))
+    a[:, 0] = np.linspace(0, 1, 10)      # chain spacing ~0.11
+    b = a + np.array([5.0, 0, 0])
+    labels, n = connected_components(np.concatenate([a, b]), radius=0.2)
+    assert n == 2
+    assert len(set(labels[:10])) == 1 and len(set(labels[10:])) == 1
+
+
+def test_calc_dcd_full_matches_calc_dcd(rng):
+    x = jnp.asarray(rng.normal(size=(2, 32, 3)), jnp.float32)
+    gt = jnp.asarray(rng.normal(size=(2, 48, 3)), jnp.float32)
+    a = calc_dcd(x, gt)[0]
+    b = calc_dcd_full(x, gt)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+    sep = calc_dcd_full(x, gt, separate=True)[0]
+    np.testing.assert_allclose(np.asarray(sep.mean(0)), np.asarray(a),
+                               rtol=1e-5)
+    freq = calc_dcd_full(x, gt, return_freq=True)
+    x_counted, gt_counted = freq[-2], freq[-1]
+    assert int(x_counted.sum()) == 2 * 48   # every gt point matched once
+    assert int(gt_counted.sum()) == 2 * 32
+
+
+def test_mahalanobis_and_selection(rng):
+    t = jnp.asarray(rng.normal(size=(3, 8)), jnp.float32)
+    mu = jnp.asarray(rng.normal(size=(5, 8)), jnp.float32)
+    var = jnp.zeros((5, 8), jnp.float32)
+    d = compute_mahalanobis(t, mu, var)
+    assert d.shape == (3, 5)
+    assert np.all(np.asarray(d) >= 0)
+
+    g = np.random.default_rng(0)
+    assert select_sources("exhaustive", 4, 2, g).shape == (8,)
+    assert select_sources("random", 4, 2, g, k=3).shape == (2, 3)
+    scores = np.array([[0.3, 0.1, 0.2], [0.9, 0.5, 0.7]])
+    top = select_sources("retrieval", 3, 2, g, scores=scores, k=2)
+    np.testing.assert_array_equal(top, [[1, 2], [1, 2]])
+
+
+def test_autodecoder_optimizer(rng):
+    params = {
+        "net": jnp.asarray(rng.normal(size=(4,)), jnp.float32),
+        "latents": jnp.asarray(rng.normal(size=(4,)), jnp.float32),
+        "sigmas": jnp.asarray(rng.normal(size=(2,)), jnp.float32),
+    }
+    tx = make_autodecoder_optimizer(1e-3, sigma_learning_rate=1e-2)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    upd, _ = tx.update(grads, state, params)
+    # sigmas move ~10x faster on the first step
+    assert abs(float(upd["sigmas"][0])) > 5 * abs(float(upd["net"][0]))
+
+
+def test_metric_writer_and_timer(tmp_path):
+    w = MetricWriter(str(tmp_path))
+    w.write(0, {"loss": 1.0})
+    w.write(1, {"loss": 0.5})
+    w.text("epoch done")
+    w.close()
+    lines = open(w.path).read().strip().splitlines()
+    assert len(lines) == 2
+    assert json.loads(lines[1])["loss"] == 0.5
+    assert os.path.exists(os.path.join(str(tmp_path), "train.log"))
+
+    t = StepTimer()
+    t.start()
+    x = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    dt = t.stop(x)
+    assert dt > 0 and t.mean > 0

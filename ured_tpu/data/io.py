@@ -82,6 +82,9 @@ def load_part_h5(path: str, mesh: bool = True) -> PartModel:
 
 def save_targets_h5(path: str, points: np.ndarray, labels: np.ndarray,
                     semantics: np.ndarray, model_ids: np.ndarray) -> None:
+    model_ids = np.asarray(model_ids)
+    if model_ids.dtype.kind == "U":  # h5py cannot store unicode directly
+        model_ids = model_ids.astype("S")
     with h5py.File(path, "w") as f:
         f.create_dataset("data", data=points, compression="gzip")
         f.create_dataset("label", data=labels, compression="gzip")

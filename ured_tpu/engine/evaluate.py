@@ -95,6 +95,7 @@ def make_eval_step(cfg: URedConfig, model: URED):
             "sims": sims.reshape(b, p, -1),  # [B, P, S]
             "deformed": deformed,
             "params": params,
+            "param_def": param_def,
         }
 
     return eval_step

@@ -1,0 +1,115 @@
+"""Retrieval + deformation visualization pipeline (the reference's working
+eval path, ``engine/vis.py``): per-corpus cosine retrieval with NDCG@40,
+deformation of retrieved source *meshes*, and OBJ export — plus the
+retrieval-QA sweep of ``engine/visualization.py`` (collect each query's
+top-k retrieved parts and count semantic mismatches).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ured_tpu.config import URedConfig
+from ured_tpu.engine.evaluate import build_source_db, make_eval_step
+from ured_tpu.engine.export import export_deformed_assembly
+from ured_tpu.models.ured import URED
+
+
+def run_vis(cfg: URedConfig, model: URED, variables, data, source_db,
+            out_dir: str, max_targets: Optional[int] = None,
+            alpha: Optional[float] = None) -> Dict[str, float]:
+    """Evaluate + export deformed meshes for each target.
+
+    ``data``: PartNetDataset or SyntheticData-like (points/labels/semantics
+    arrays).  ``source_db``: ``partnet.SourceDB`` with mesh payloads, or a
+    dict with points/mats (points-only export then).
+
+    Returns the metric dict; writes per-target OBJ assemblies to
+    ``out_dir`` (reference ``vis.py:270-299``).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    alpha = cfg.alpha if alpha is None else alpha
+    bs = cfg.batch_size
+    n = data.points.shape[0] if max_targets is None \
+        else min(max_targets, data.points.shape[0])
+    n = (n // bs) * bs or bs
+
+    # SourceDB uses points/mats/sem_ids; SyntheticData uses src_* names
+    # (its plain points/labels are the *targets*)
+    if hasattr(source_db, "src_points"):
+        src_points = jnp.asarray(source_db.src_points)
+        src_sems = jnp.asarray(source_db.src_sems)
+        src_mats = jnp.asarray(source_db.src_mats)
+    else:
+        src_points = jnp.asarray(source_db.points)
+        src_sems = jnp.asarray(source_db.sem_ids)
+        src_mats = jnp.asarray(source_db.mats)
+
+    db = build_source_db(cfg, model, variables, src_points, src_sems,
+                         src_mats)
+    step = jax.jit(make_eval_step(cfg, model))
+
+    cds, res = [], []
+    for i in range(0, n, bs):
+        batch = {
+            "x": jnp.asarray(data.points[i:i + bs]),
+            "labels": jnp.asarray(data.labels[i:i + bs]),
+            "tgt_sem": jnp.asarray(data.semantics[i:i + bs]),
+        }
+        out = step(variables, batch, db)
+        cds.append(np.asarray(out["cd_full"]))
+        res.append(np.asarray(out["re_score"]))
+
+        top1 = np.asarray(out["top1"])
+        params = np.asarray(out["params"])
+        param_def = np.asarray(out["param_def"])
+        mask = np.asarray(out["part_mask"])
+        has_mesh = getattr(source_db, "vertices_mats", None)
+        for b in range(top1.shape[0]):
+            t = i + b
+            if has_mesh:
+                vmats = [source_db.vertices_mats[s] for s in top1[b]]
+                faces = [source_db.faces[s] for s in top1[b]]
+                export_deformed_assembly(
+                    out_dir, f"target{t:04d}", vmats, faces, params[b],
+                    param_def[b], alpha=alpha, part_mask=mask[b])
+            else:
+                # points-only export path
+                from ured_tpu.engine.export import export_point_cloud
+
+                deformed = np.asarray(out["deformed"][b]).reshape(-1, 3)
+                labels = np.repeat(np.arange(mask.shape[1]),
+                                   out["deformed"].shape[2])
+                keep = np.repeat(mask[b] > 0, out["deformed"].shape[2])
+                export_point_cloud(out_dir, f"target{t:04d}",
+                                   deformed[keep], labels[keep])
+
+    metrics = {
+        "best_full_cd_loss": float(np.mean(np.concatenate(cds))),
+        "best_full_re_loss": float(np.mean(np.concatenate(res))),
+    }
+    print("vis: best full cd loss {best_full_cd_loss:.6f} | "
+          "best full re loss {best_full_re_loss:.6f}".format(**metrics))
+    return metrics
+
+
+def retrieval_qa(top_idx: np.ndarray, query_sems: np.ndarray,
+                 source_sems: np.ndarray,
+                 k: int = 5) -> Dict[str, float]:
+    """Semantic-mismatch QA over retrieval results (the role of reference
+    ``engine/visualization.py:check_sources_connect_single:70-96`` without
+    the file copying): fraction of top-k retrievals whose semantic class
+    disagrees with the query part's."""
+    top = top_idx[:, :k]
+    retrieved_sems = source_sems[top]                     # [Q, k]
+    mismatch = retrieved_sems != query_sems[:, None]
+    return {
+        "topk_semantic_mismatch_rate": float(mismatch.mean()),
+        "top1_semantic_mismatch_rate": float(mismatch[:, 0].mean()),
+        "queries": int(top.shape[0]),
+    }

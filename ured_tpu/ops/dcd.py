@@ -75,3 +75,46 @@ def calc_dcd(x: Array, gt: Array,
     if return_raw:
         res.extend([dist1, dist2, idx1, idx2])
     return res
+
+
+def calc_dcd_full(x: Array, gt: Array,
+                  T: float = 1000.0, n_p: float = 1.0,
+                  return_raw: bool = False, separate: bool = False,
+                  return_freq: bool = False, non_reg: bool = False,
+                  x_mask: Optional[Array] = None,
+                  gt_mask: Optional[Array] = None):
+    """Fuller DCD variant (reference ``utils/model_utils.py:calc_dcd_full:
+    80-135``): same metric with optional per-direction separation and match
+    frequency counts — its batched python loop over ``bincount`` becomes the
+    same vmapped scatter-count as ``calc_dcd``.
+    """
+    out = calc_dcd(x, gt, alpha=T, n_lambda=n_p, return_raw=True,
+                   non_reg=non_reg, x_mask=x_mask, gt_mask=gt_mask)
+    loss, cd_p, cd_t, dist1, dist2, idx1, idx2 = out
+    n_x = x.shape[-2]
+    n_gt = gt.shape[-2]
+
+    res: list
+    if separate:
+        # recompute the per-direction halves (calc_dcd averaged them)
+        frac_12 = max(1.0, n_x / n_gt) if non_reg else n_x / n_gt
+        frac_21 = max(1.0, n_gt / n_x) if non_reg else n_gt / n_x
+        exp1 = jnp.exp(-dist1 * T)
+        exp2 = jnp.exp(-dist2 * T)
+        c1 = _count_hits(idx1, n_x)
+        w1 = jax.lax.stop_gradient(
+            jnp.take_along_axis(c1, idx1, -1) ** n_p)
+        l1 = jnp.mean(1.0 - exp1 / (w1 + 1e-6) * frac_21, -1)
+        c2 = _count_hits(idx2, n_gt)
+        w2 = jax.lax.stop_gradient(
+            jnp.take_along_axis(c2, idx2, -1) ** n_p)
+        l2 = jnp.mean(1.0 - exp2 / (w2 + 1e-6) * frac_12, -1)
+        res = [jnp.stack([l1, l2]), cd_p, cd_t]
+    else:
+        res = [loss, cd_p, cd_t]
+    if return_raw:
+        res.extend([dist1, dist2, idx1, idx2])
+    if return_freq:
+        res.extend([_count_hits(idx1, n_x).astype(jnp.int32),
+                    _count_hits(idx2, n_gt).astype(jnp.int32)])
+    return res
