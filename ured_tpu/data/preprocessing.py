@@ -97,13 +97,23 @@ def face_areas(v: np.ndarray, f: np.ndarray) -> np.ndarray:
 
 def sample_surface_with_mat(v: np.ndarray, f: np.ndarray,
                             vertex_mat: np.ndarray, n: int,
-                            rng: np.random.Generator) -> np.ndarray:
+                            rng: np.random.Generator,
+                            use_native: bool = True) -> np.ndarray:
     """Sample n surface points' A-matrix rows: PA [3n, 6].
 
     A sampled point is a barycentric mix of its triangle's vertices, and the
     parametric map is linear, so the point's A-rows are the same mix of the
-    vertex A-rows (reference ``sample_points:271-292`` — vectorized).
+    vertex A-rows (reference ``sample_points:271-292`` — vectorized; runs
+    through the OpenMP native library when built).
     """
+    if use_native:
+        from ured_tpu.utils.native import get_lib, sample_surface_native
+
+        if get_lib() is not None:
+            _, pa = sample_surface_native(
+                v, f, vertex_mat, n,
+                seed=int(rng.integers(0, 2 ** 63 - 1)))
+            return pa
     areas = face_areas(v, f)
     probs = areas / areas.sum()
     fids = rng.choice(len(f), size=n, p=probs)
@@ -122,6 +132,10 @@ def sample_surface_with_mat(v: np.ndarray, f: np.ndarray,
 
 def _min_pair_distance(p1: np.ndarray, p2: np.ndarray
                        ) -> Tuple[float, np.ndarray]:
+    from ured_tpu.utils.native import get_lib, min_pair_distance_native
+
+    if get_lib() is not None:
+        return min_pair_distance_native(p1, p2)
     d = ((p1[:, None] - p2[None]) ** 2).sum(-1)
     i, j = np.unravel_index(np.argmin(d), d.shape)
     return float(np.sqrt(d[i, j])), (p1[i] + p2[j]) / 2.0
