@@ -27,7 +27,9 @@ def main():
     from ured_tpu.engine.evaluate import build_source_db, make_eval_step
     from ured_tpu.models.ured import URED
 
-    cfg = URedConfig(batch_size=16)
+    # batch 32: device stages are sub-ms, so per-dispatch host latency is
+    # the floor — batch wide enough to amortize it
+    cfg = URedConfig(batch_size=32)
     num_sources = 512
     num_targets = 64
 
@@ -59,7 +61,7 @@ def main():
     out = step(variables, batches[0], src_db)
     jax.block_until_ready(out["cd_full"])
 
-    iters = 5
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         for b in batches:

@@ -33,14 +33,20 @@ def knn_points(p1: Array, p2: Array, K: int,
     """For each point of ``p1`` [..., N, D], the K nearest in ``p2`` [..., M, D].
 
     Results are sorted by ascending distance (matches
-    ``pytorch3d.ops.knn_points(..., return_sorted=True)``).
+    ``pytorch3d.ops.knn_points(..., return_sorted=True)``).  K == 1 takes a
+    min/argmin fast path (``lax.top_k`` over a large M axis sorts the whole
+    lane dimension — ~30x slower at M = 16k).
     """
     d = pairwise_sqdist(p1, p2)
     if p2_mask is not None:
         d = d + (_BIG * (1.0 - p2_mask.astype(d.dtype)))[..., None, :]
-    neg, idx = jax.lax.top_k(-d, K)
-    dists = -neg
-    idx = idx.astype(jnp.int32)
+    if K == 1:
+        dists = jnp.min(d, axis=-1, keepdims=True)
+        idx = jnp.argmin(d, axis=-1, keepdims=True).astype(jnp.int32)
+    else:
+        neg, idx = jax.lax.top_k(-d, K)
+        dists = -neg
+        idx = idx.astype(jnp.int32)
     nn = None
     if return_nn:
         nn = jnp.take_along_axis(
