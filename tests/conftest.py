@@ -13,9 +13,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags += " --xla_force_host_platform_device_count=8"
+if "xla_backend_optimization_level" not in _flags:
+    # single-core CI box: compile time dominates; trade optimized code for
+    # much cheaper compiles
+    _flags += " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = _flags.strip()
 
 # A sitecustomize hook may have force-registered the TPU backend and set
 # jax_platforms to "axon,cpu" regardless of the environment; override it at
@@ -31,3 +34,10 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# Persistent compilation cache: with a single CPU core, XLA compile time
+# dominates the suite; cached executables make repeat runs cheap.
+jax.config.update("jax_compilation_cache_dir", "/tmp/ured_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

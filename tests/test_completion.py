@@ -40,9 +40,9 @@ def test_discriminator(rng):
 def test_pcn_trains(rng):
     import optax
 
-    partial = jnp.asarray(rng.normal(size=(2, 64, 3)), jnp.float32)
-    gt = jnp.asarray(rng.normal(size=(2, 256, 3)), jnp.float32)
-    m = PCN(num_coarse=64, grid_size=2)
+    partial = jnp.asarray(rng.normal(size=(2, 32, 3)), jnp.float32)
+    gt = jnp.asarray(rng.normal(size=(2, 64, 3)), jnp.float32)
+    m = PCN(num_coarse=16, grid_size=2)
     v = m.init(jax.random.PRNGKey(0), partial, train=False)
     from ured_tpu.ops import chamfer_distance
 
@@ -55,7 +55,7 @@ def test_pcn_trains(rng):
     params = v["params"]
     opt = tx.init(params)
     l0 = float(loss_fn(params))
-    for _ in range(10):
+    for _ in range(5):
         g = jax.grad(loss_fn)(params)
         upd, opt = tx.update(g, opt)
         params = optax.apply_updates(params, upd)

@@ -39,8 +39,8 @@ def test_lr_schedule_warmup_then_decay():
 @pytest.mark.parametrize("model_name", ["pcn", "vrcnet"])
 def test_completion_trains(model_name):
     state, best = train_completion(
-        model_name=model_name, epochs=2, batch_size=4, num_train=8,
-        n_points=128, seed=0)
+        model_name=model_name, epochs=1, batch_size=4, num_train=4,
+        n_points=64, seed=0)
     assert np.isfinite(best["dcd"])
     assert 0.0 <= best["f1"] <= 1.0
 

@@ -12,8 +12,8 @@ from ured_tpu.utils.metrics import dcd_relevance, ndcg_score
 
 
 def _tiny_cfg():
-    return URedConfig(batch_size=2, MAX_NUM_PARTS=8, num_target_points=128,
-                      num_part_points=32, sem_latent_dim=8,
+    return URedConfig(batch_size=2, MAX_NUM_PARTS=8, num_target_points=64,
+                      num_part_points=16, sem_latent_dim=8,
                       source_latent_dim=16, target_latent_dim=16,
                       part_latent_dim=16)
 
@@ -42,8 +42,8 @@ def test_dcd_relevance_monotone():
 
 def test_eval_step_and_full_evaluate():
     cfg = _tiny_cfg()
-    data = synthetic.generate(num_targets=4, num_sources=6, n_points=128,
-                              points_per_part=32, max_parts=8, seed=0)
+    data = synthetic.generate(num_targets=4, num_sources=6, n_points=64,
+                              points_per_part=16, max_parts=8, seed=0)
     model = URED(cfg)
     init_batch = {k: jnp.asarray(v) for k, v in synthetic.make_batch(
         data, np.arange(2), 8).items()}

@@ -93,12 +93,12 @@ def test_vn_std_feature_invariance(rng):
 
 
 def test_vn_encoder_shapes(rng):
-    pts = jnp.asarray(rng.normal(size=(2, 64, 3)), jnp.float32)
-    m = VNEncoder(embedding_size=32, k=8)
+    pts = jnp.asarray(rng.normal(size=(1, 32, 3)), jnp.float32)
+    m = VNEncoder(embedding_size=16, k=6)
     v = m.init(jax.random.PRNGKey(0), pts, train=False)
     (g, pp), _ = m.apply(v, pts, train=True, mutable=["batch_stats"])
-    assert g.shape == (2, 32)
-    assert pp.shape == (2, 64, 32)
+    assert g.shape == (1, 16)
+    assert pp.shape == (1, 32, 16)
 
 
 def test_gcn3d_encoder(rng):

@@ -128,8 +128,8 @@ def test_residual_net(rng):
 
 def _tiny_cfg():
     return URedConfig(
-        batch_size=2, MAX_NUM_PARTS=4, num_target_points=64,
-        num_part_points=16, sem_latent_dim=8, source_latent_dim=16,
+        batch_size=2, MAX_NUM_PARTS=4, num_target_points=32,
+        num_part_points=8, sem_latent_dim=8, source_latent_dim=16,
         target_latent_dim=16, part_latent_dim=16)
 
 

@@ -18,15 +18,15 @@ from ured_tpu.parallel import (
 
 
 def _tiny_cfg():
-    return URedConfig(batch_size=8, MAX_NUM_PARTS=8, num_target_points=128,
-                      num_part_points=32, sem_latent_dim=8,
+    return URedConfig(batch_size=8, MAX_NUM_PARTS=8, num_target_points=64,
+                      num_part_points=16, sem_latent_dim=8,
                       source_latent_dim=16, target_latent_dim=16,
                       part_latent_dim=16)
 
 
 def _data_and_batch(cfg):
-    data = synthetic.generate(num_targets=8, num_sources=8, n_points=128,
-                              points_per_part=32, max_parts=8, seed=0)
+    data = synthetic.generate(num_targets=8, num_sources=8, n_points=64,
+                              points_per_part=16, max_parts=8, seed=0)
     batch = {k: jnp.asarray(v)
              for k, v in synthetic.make_batch(data, np.arange(8), 8).items()}
     return data, batch

@@ -18,8 +18,8 @@ from ured_tpu.models.ured import URED
 
 
 def _tiny_cfg(**kw):
-    base = dict(batch_size=4, MAX_NUM_PARTS=8, num_target_points=128,
-                num_part_points=32, sem_latent_dim=8, source_latent_dim=16,
+    base = dict(batch_size=4, MAX_NUM_PARTS=8, num_target_points=64,
+                num_part_points=16, sem_latent_dim=8, source_latent_dim=16,
                 target_latent_dim=16, part_latent_dim=16, epochs=1)
     base.update(kw)
     return URedConfig(**base)
@@ -46,8 +46,8 @@ def test_synthetic_generator_invariants():
 
 def test_train_step_decreases_loss():
     cfg = _tiny_cfg()
-    data = synthetic.generate(num_targets=8, num_sources=6, n_points=128,
-                              points_per_part=32, max_parts=8, seed=0)
+    data = synthetic.generate(num_targets=8, num_sources=6, n_points=64,
+                              points_per_part=16, max_parts=8, seed=0)
     tx, _ = make_optimizer(cfg, steps_per_epoch=2)
     model = URED(cfg)
     batch = {k: jnp.asarray(v)
@@ -66,8 +66,8 @@ def test_train_step_decreases_loss():
 
 def test_embedding_layer_frozen():
     cfg = _tiny_cfg()
-    data = synthetic.generate(num_targets=4, num_sources=6, n_points=128,
-                              points_per_part=32, max_parts=8, seed=0)
+    data = synthetic.generate(num_targets=4, num_sources=6, n_points=64,
+                              points_per_part=16, max_parts=8, seed=0)
     tx, _ = make_optimizer(cfg, steps_per_epoch=1)
     model = URED(cfg)
     batch = {k: jnp.asarray(v)

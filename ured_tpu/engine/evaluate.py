@@ -164,3 +164,45 @@ def evaluate(cfg: URedConfig, model: URED, variables, data,
           "best full re loss: {best_full_re_loss:.6f} | "
           "ndcg@40: {ndcg@40:.4f}".format(**metrics))
     return metrics
+
+
+def main(argv):
+    """``python -m ured_tpu.engine.evaluate [config.json]`` — the role of
+    reference ``engine/test.py``: load checkpoint (if configured), encode the
+    source DB, print the metric trio.  Without PartNet data it evaluates on
+    the synthetic corpus."""
+    import jax
+
+    from ured_tpu.data import synthetic
+    from ured_tpu.engine.train import init_state, make_optimizer
+
+    cfg = URedConfig.from_json(argv[1]) if len(argv) > 1 else URedConfig(
+        batch_size=8)
+    data = synthetic.generate(
+        num_targets=int(cfg.extras.get("synthetic_targets", 32)),
+        num_sources=int(cfg.extras.get("synthetic_sources", 64)),
+        n_points=cfg.num_target_points,
+        points_per_part=cfg.num_part_points,
+        max_parts=cfg.MAX_NUM_PARTS, seed=cfg.seed)
+    model = URED(cfg)
+    init_batch = {k: jnp.asarray(v) for k, v in synthetic.make_batch(
+        data, np.arange(min(cfg.batch_size, data.points.shape[0])),
+        cfg.MAX_NUM_PARTS).items()}
+    tx, _ = make_optimizer(cfg, 1)
+    state = init_state(cfg, model, tx, init_batch, seed=cfg.seed)
+    if cfg.init_dm:
+        from ured_tpu.utils.checkpoint import restore_groups
+
+        state = restore_groups(cfg.dm_model_path, state, groups=("dm",))
+    if cfg.init_re:
+        from ured_tpu.utils.checkpoint import restore_groups
+
+        state = restore_groups(cfg.re_model_path, state, groups=("re",))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return evaluate(cfg, model, variables, data)
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(sys.argv)

@@ -98,6 +98,10 @@ def make_optimizer(cfg: URedConfig, steps_per_epoch: int):
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.scale_by_learning_rate(schedule),
     )
+    # failure detection: non-finite gradients skip the update instead of
+    # poisoning the parameters (the reference only had a commented-out NaN
+    # guard, partnet_dataset.py:63-72 / SURVEY.md §5)
+    tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
     return tx, schedule
 
 
@@ -284,7 +288,18 @@ def train(cfg: URedConfig, num_steps: Optional[int] = None,
 def main(argv):
     cfg = URedConfig.from_json(argv[1]) if len(argv) > 1 else URedConfig(
         epochs=2, batch_size=8)
-    train(cfg)
+    import os
+
+    from ured_tpu.utils.logging import MetricWriter
+
+    os.makedirs(cfg.log_path, exist_ok=True)
+    cfg.to_json(os.path.join(cfg.log_path, "config.json"))  # ref train.py:367
+    writer = MetricWriter(cfg.log_path)
+    try:
+        train(cfg, writer=writer,
+              checkpoint_dir=os.path.join(cfg.log_path, "checkpoints"))
+    finally:
+        writer.close()
 
 
 if __name__ == "__main__":

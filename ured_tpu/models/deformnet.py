@@ -16,6 +16,8 @@ Ports of reference ``network/deformation_net.py``:
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -96,10 +98,13 @@ class ResidualNet(nn.Module):
 
     input_dim: int
     output_dim: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, concat_feature, train: bool = True):
         """concat_feature: [B, N, input_dim] -> [B, N, output_dim]."""
         assert concat_feature.shape[-1] == self.input_dim
-        return PointMLP([256, 256, 32, self.output_dim], norm="batch",
-                        name="residual_net")(concat_feature, train=train)
+        out = PointMLP([256, 256, 32, self.output_dim], norm="batch",
+                       dtype=self.dtype,
+                       name="residual_net")(concat_feature, train=train)
+        return out.astype(jnp.float32)

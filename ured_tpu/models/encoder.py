@@ -10,7 +10,7 @@ keeps one big [B*P, n, C] matmul stream on the MXU instead of 16 small ones.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -58,6 +58,7 @@ class TargetEncoder(nn.Module):
     input_channels: int = 3
     is_src: bool = False
     sem_size: int = 0  # 0 disables semantic fusion
+    dtype: Any = None  # matmul compute dtype (bf16 for MXU full rate)
 
     @nn.compact
     def __call__(self, x, sem_f=None, train: bool = True):
@@ -74,21 +75,24 @@ class TargetEncoder(nn.Module):
 
         h = x
         for f in (64, 64):       # mlp1
-            h = ConvBNRelu(f)(h, train=train)
+            h = ConvBNRelu(f, dtype=self.dtype)(h, train=train)
         for f in (64, 128, 1024):  # mlp2
-            h = ConvBNRelu(f)(h, train=train)
+            h = ConvBNRelu(f, dtype=self.dtype)(h, train=train)
 
         if self.sem_size and sem_f is not None:
-            h = jnp.concatenate([h, sem_f], axis=-1)
-            h = ConvBNRelu(1024, name="fuse_sem")(h, train=train)
+            h = jnp.concatenate([h, sem_f.astype(h.dtype)], axis=-1)
+            h = ConvBNRelu(1024, name="fuse_sem",
+                           dtype=self.dtype)(h, train=train)
 
-        per_point = ConvBNRelu(self.embedding_size,
+        per_point = ConvBNRelu(self.embedding_size, dtype=self.dtype,
                                name="per_point_0")(h, train=train)
-        per_point = nn.Dense(self.embedding_size,
+        per_point = nn.Dense(self.embedding_size, dtype=self.dtype,
                              name="per_point_1")(per_point)
 
         g = jnp.max(h, axis=-2)              # max pool over points
-        g = nn.Dense(self.embedding_size, name="fc")(g)
+        g = nn.Dense(self.embedding_size, dtype=self.dtype, name="fc")(g)
+        g = g.astype(jnp.float32)
+        per_point = per_point.astype(jnp.float32)
 
         if src_shape is not None:
             b, p = src_shape

@@ -9,7 +9,7 @@ the trailing feature axis, matching torch BatchNorm1d on [B, C, N].
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -18,27 +18,32 @@ import jax.numpy as jnp
 class PointMLP(nn.Module):
     """Reference ``FeedForwardNet_norm`` (conv -> relu -> norm per layer,
     final layer linear).  ``norm``: 'batch' | 'layer' | 'instance' | 'none'.
+
+    ``dtype`` sets the matmul compute type (bf16 keeps the MXU at full
+    rate); parameters and normalization statistics stay float32.
     """
 
     features: Sequence[int]
     norm: str = "batch"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         for f in self.features[:-1]:
-            x = nn.Dense(f)(x)
+            x = nn.Dense(f, dtype=self.dtype)(x)
             x = nn.relu(x)
             if self.norm == "batch":
                 x = nn.BatchNorm(use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5)(x)
+                                 momentum=0.9, epsilon=1e-5,
+                                 dtype=self.dtype)(x)
             elif self.norm == "layer":
-                x = nn.LayerNorm()(x)
+                x = nn.LayerNorm(dtype=self.dtype)(x)
             elif self.norm == "instance":
                 # InstanceNorm1d: normalize over the points axis per channel.
                 mean = jnp.mean(x, axis=-2, keepdims=True)
                 var = jnp.var(x, axis=-2, keepdims=True)
                 x = (x - mean) / jnp.sqrt(var + 1e-5)
-        return nn.Dense(self.features[-1])(x)
+        return nn.Dense(self.features[-1], dtype=self.dtype)(x)
 
 
 class ConvBNRelu(nn.Module):
@@ -46,12 +51,13 @@ class ConvBNRelu(nn.Module):
     ``network/simple_encoder.py:52-70``)."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Dense(self.features)(x)
+        x = nn.Dense(self.features, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train,
-                         momentum=0.9, epsilon=1e-5)(x)
+                         momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
         return nn.relu(x)
 
 

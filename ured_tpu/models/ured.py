@@ -40,18 +40,21 @@ class URED(nn.Module):
 
     def setup(self):
         c = self.cfg
+        dtype = {"bfloat16": jnp.bfloat16,
+                 "float32": None}.get(c.compute_dtype, None)
         self.target_encoder_full = TargetEncoder(
             embedding_size=c.target_latent_dim, sem_size=c.sem_latent_dim,
-            name="target_encoder_full")
+            dtype=dtype, name="target_encoder_full")
         self.src_encoder_all = TargetEncoder(
             embedding_size=c.source_latent_dim, is_src=True,
-            sem_size=c.sem_latent_dim, name="src_encoder_all")
+            sem_size=c.sem_latent_dim, dtype=dtype, name="src_encoder_all")
         self.recon_decoder_full = ResidualNet(
-            c.target_latent_dim * 2, name="recon_decoder_full")
+            c.target_latent_dim * 2, dtype=dtype, name="recon_decoder_full")
         self.recon_decoder_src = ResidualNet(
-            c.source_latent_dim * 2, name="recon_decoder_src")
+            c.source_latent_dim * 2, dtype=dtype, name="recon_decoder_src")
         self.re_order_decoder_full = ResidualNet(
-            c.target_latent_dim * 2, name="re_order_decoder_full")
+            c.target_latent_dim * 2, dtype=dtype,
+            name="re_order_decoder_full")
         self.param_decoder_full = DeformNetMatching(
             input_dim=c.source_latent_dim * 3,
             graph_dim=c.source_latent_dim,
