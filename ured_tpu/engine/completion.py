@@ -112,6 +112,48 @@ def _synthetic_pairs(num: int, n_gt: int, seed: int):
     return np.asarray(partial), np.asarray(gt)
 
 
+def make_gan_steps(model, disc, tx_g, tx_d, alpha: float = 1000.0,
+                   adv_weight: float = 0.1):
+    """Adversarial completion training (the vrcnet_plus discriminator path,
+    reference ``utils/train_utils.py:40-58`` GAN steps): hinge losses, one
+    jittable step per player."""
+
+    def d_step(d_state: CompletionState, g_params, partial, gt):
+        def loss_fn(d_params):
+            _, fake = model.apply({"params": g_params}, partial,
+                                  train=False)
+            real_score = disc.apply({"params": d_params}, gt, train=True)
+            fake_score = disc.apply({"params": d_params},
+                                    jax.lax.stop_gradient(fake), train=True)
+            return jnp.mean(jax.nn.relu(1.0 - real_score)) + \
+                jnp.mean(jax.nn.relu(1.0 + fake_score))
+
+        loss, grads = jax.value_and_grad(loss_fn)(d_state.params)
+        updates, new_opt = tx_d.update(grads, d_state.opt_state,
+                                       d_state.params)
+        return CompletionState(d_state.step + 1,
+                               optax.apply_updates(d_state.params, updates),
+                               new_opt), loss
+
+    def g_step(g_state: CompletionState, d_params, partial, gt):
+        def loss_fn(g_params):
+            coarse, fine = model.apply({"params": g_params}, partial,
+                                       train=True)
+            rec = completion_loss(coarse, fine, gt, alpha)
+            adv = -jnp.mean(disc.apply({"params": d_params}, fine,
+                                       train=False))
+            return rec + adv_weight * adv
+
+        loss, grads = jax.value_and_grad(loss_fn)(g_state.params)
+        updates, new_opt = tx_g.update(grads, g_state.opt_state,
+                                       g_state.params)
+        return CompletionState(g_state.step + 1,
+                               optax.apply_updates(g_state.params, updates),
+                               new_opt), loss
+
+    return g_step, d_step
+
+
 def train_completion(model_name: str = "pcn", epochs: int = 2,
                      batch_size: int = 8, num_train: int = 32,
                      n_points: int = 256, base_lr: float = 1e-3,

@@ -38,11 +38,16 @@ from ured_tpu.parallel.retrieval import l2_normalize, retrieve_topk
 Array = jax.Array
 
 
-def make_eval_step(cfg: URedConfig, model: URED):
+def make_eval_step(cfg: URedConfig, model: URED, k_candidates: int = 1):
     """Returns jittable ``eval_step(variables, batch, src_db)``.
 
     batch: {x [B, N, 3], labels [B, N], tgt_sem [B, N]}
     src_db: {codes [S, C], mats [S, 3n, 6], points [S, n, 3]}
+
+    ``k_candidates > 1`` evaluates the top-k retrieval ranks per part and
+    reports the best post-deformation Chamfer — the "best full cd loss (from
+    retrieval)" contract of reference ``test.py:283`` (its candidate loop as
+    one batched scan).
     """
 
     def eval_step(variables, batch, src_db):
@@ -56,26 +61,42 @@ def make_eval_step(cfg: URedConfig, model: URED):
             method=model.encode_target)
         part_f, part_mask, _ = part_segment_mean(per_point, labels, p)
 
-        # retrieval over the whole DB: one [B*P, S] matmul + top-1
+        # retrieval over the whole DB: one [B*P, S] matmul + top-k
         scores, idx = retrieve_topk(
-            part_f.reshape(b * p, -1), src_db["codes"], k=1)
-        top1 = idx[:, 0].reshape(b, p)                      # [B, P]
+            part_f.reshape(b * p, -1), src_db["codes"], k=k_candidates)
+        topk = idx.reshape(b, p, k_candidates)              # [B, P, K]
+        top1 = topk[..., 0]                                 # [B, P]
         sims = l2_normalize(part_f.reshape(b * p, -1)) @ \
             l2_normalize(src_db["codes"]).T                  # [B*P, S]
 
-        # gather retrieved parts' parametric models + codes
-        src_mat = src_db["mats"][top1]                       # [B, P, 3n, 6]
-        src_codes = src_db["codes"][top1]                    # [B, P, C]
-
-        params = model.apply(variables, tgt_code, src_codes, None,
-                             train=False, method=model.decode_params)
         param_def = part_aabb(x, labels, p)
-        deformed = get_shape(src_mat, params, param_def, alpha=cfg.alpha)
+
+        def deform_and_cd(cand):
+            """cand [B, P] source ids -> (cd [B], deformed)."""
+            src_mat = src_db["mats"][cand]                   # [B, P, 3n, 6]
+            src_codes = src_db["codes"][cand]                # [B, P, C]
+            params = model.apply(variables, tgt_code, src_codes, None,
+                                 train=False, method=model.decode_params)
+            deformed = get_shape(src_mat, params, param_def,
+                                 alpha=cfg.alpha)
+            n = deformed.shape[2]
+            flat = deformed.reshape(b, p * n, 3)
+            flat_mask = jnp.repeat(part_mask, n, axis=-1)
+            cd = chamfer_distance(flat, x, flat_mask, None)
+            return cd, (params, deformed)
+
+        cd_full, (params, deformed) = deform_and_cd(top1)
+        if k_candidates > 1:
+            cds = jax.lax.map(
+                lambda j: deform_and_cd(topk[..., j])[0],
+                jnp.arange(k_candidates))                    # [K, B]
+            cd_best = jnp.min(cds, axis=0)
+        else:
+            cd_best = cd_full
 
         n = deformed.shape[2]
         flat = deformed.reshape(b, p * n, 3)
         flat_mask = jnp.repeat(part_mask, n, axis=-1)
-        cd_full = chamfer_distance(flat, x, flat_mask, None)  # [B]
 
         # retrieval-residual score (max per-point residual L1,
         # reference vis.py:230-232)
@@ -87,10 +108,12 @@ def make_eval_step(cfg: URedConfig, model: URED):
             x, jax.lax.stop_gradient(flat), flat_mask, re_residuals)
 
         return {
-            "cd_full": cd_full,              # [B]
+            "cd_full": cd_full,              # [B] top-1 candidate
+            "cd_best": cd_best,              # [B] best of top-k candidates
             "re_score": re_score,            # [B]
             "re_loss": re_loss,              # scalar
             "top1": top1,                    # [B, P]
+            "topk": topk,                    # [B, P, K]
             "part_mask": part_mask,          # [B, P]
             "sims": sims.reshape(b, p, -1),  # [B, P, S]
             "deformed": deformed,

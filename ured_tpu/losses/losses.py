@@ -172,3 +172,57 @@ def regularization_residuals(residuals: Array) -> Array:
     """Mean L1 magnitude of residual vectors (reference
     ``regularization_loss.py:24-28``)."""
     return jnp.mean(jnp.sum(jnp.abs(residuals), axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# Matching-matrix losses (the reference's alternative matching head,
+# loss/basic_loss.py:11-31, basic_consistency_loss.py:25-36,
+# regularization_loss.py:5-47 — kept for capability parity)
+# ---------------------------------------------------------------------------
+
+def point_loss_matching(deformed_p: Array, matching_m: Array,
+                        target_p: Array) -> Array:
+    """L1 of (matching_m @ deformed - target) (ref ``basic_loss.py:11-19``)."""
+    mapped = jnp.einsum("bnm,bmc->bnc", matching_m, deformed_p)
+    return jnp.mean(jnp.abs(mapped - target_p))
+
+
+def point_loss_matching_squared(deformed_p: Array, matching_m: Array,
+                                target_p: Array) -> Array:
+    """Per-sample squared variant (ref ``basic_loss.py:23-31``). -> [B]"""
+    mapped = jnp.einsum("bnm,bmc->bnc", matching_m, deformed_p)
+    res = mapped - target_p
+    return jnp.mean(jnp.sum(res * res, axis=-1), axis=-1)
+
+
+def matching_consistency(m1: Array, m2: Array, rows: Array) -> Array:
+    """Symmetric KL between a row-subset of the full matching matrix and the
+    partial one (ref ``basic_consistency_loss.py:25-36``).
+
+    m1 [B, N, M] full (rows indexed by ``rows`` [B, K]), m2 [B, K, M].
+    """
+    sel = jnp.take_along_axis(m1, rows[..., None], axis=1)   # [B, K, M]
+
+    def kl(p, q):
+        return jnp.sum(p * (jnp.log(p + 1e-6) - jnp.log(q + 1e-6)), -1)
+
+    return jnp.mean(kl(sel, m2) + kl(m2, sel))
+
+
+def regularization_matching_max(matching_m: Array) -> Array:
+    """Mean of per-row maxima (ref ``regularization_loss.py:5-9``)."""
+    return jnp.mean(jnp.max(matching_m, axis=-1))
+
+
+def regularization_matching_entropy(matching_logits: Array) -> Array:
+    """Row-entropy regularizer on unsoftmaxed logits
+    (ref ``regularization_loss.py:34-39``)."""
+    p = jax.nn.softmax(matching_logits, axis=-1)
+    logp = jax.nn.log_softmax(matching_logits, axis=-1)
+    return jnp.mean(-jnp.sum(p * logp, axis=-1))
+
+
+def regularization_matching_coverage(matching_m: Array) -> Array:
+    """Encourage using many source points: mean of per-column maxima
+    (ref ``regularization_loss.py:42-47``)."""
+    return jnp.mean(jnp.max(matching_m, axis=1))

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ured_tpu.models.ffn import PointMLP
@@ -90,7 +91,21 @@ class DeformNetMatching(nn.Module):
 
         params = PointMLP([256, self.output_dim], norm="none",
                           name="param_decoder")(full, train=train)
-        return params
+        if not self.matching:
+            return params
+
+        # matching head (ref ``deformation_net.py:66-72``): per target point,
+        # logits over the deformed cloud's points_num positions, from
+        # concat(per-point feature, attended global context)
+        if per_point_f is None:
+            raise ValueError("matching=True needs per_point_f")
+        b, n, _ = per_point_f.shape
+        ctx = jnp.broadcast_to(
+            global_a.reshape(b, 1, -1), (b, n, 2 * self.graph_dim))
+        m_in = jnp.concatenate([per_point_f, ctx], axis=-1)
+        matching = PointMLP([512, 1024, self.points_num], norm="batch",
+                            name="matching_net")(m_in, train=train)
+        return params, jax.nn.softmax(matching, axis=-1)
 
 
 class ResidualNet(nn.Module):
