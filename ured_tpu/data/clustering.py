@@ -10,7 +10,7 @@ producing the deduplicated source index the training pipeline consumes
 from __future__ import annotations
 
 import pickle
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

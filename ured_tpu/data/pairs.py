@@ -13,7 +13,7 @@ masking — runs once over the whole corpus instead of per training step.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

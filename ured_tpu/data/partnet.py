@@ -17,16 +17,15 @@ in-RAM source-part database).  Differences by design:
 
 from __future__ import annotations
 
-import glob
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
 from ured_tpu.config import URedConfig
 from ured_tpu.data import io
-from ured_tpu.data.vocab import LABEL_TO_IDX, label_id
+from ured_tpu.data.vocab import label_id
 
 
 @dataclass

@@ -10,10 +10,8 @@ no cv2 dependency for the math (cv2 only if you load images with it).
 
 from __future__ import annotations
 
-import json
-import os
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

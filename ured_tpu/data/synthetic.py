@@ -16,7 +16,7 @@ range (``engine/global_variables.py:44``).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

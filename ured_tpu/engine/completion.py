@@ -16,8 +16,7 @@ passing (partial, gt) batches to ``train_completion``.
 
 from __future__ import annotations
 
-import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax
 import jax

@@ -17,8 +17,7 @@ loops over samples or parts (reference loops: ``vis.py:153-299``).
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ top-k retrieved parts and count semantic mismatches).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,14 +15,12 @@ All channels-last, fixed shapes, MXU-friendly.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ured_tpu.models.ffn import ConvBNRelu
-from ured_tpu.ops.sampling import farthest_point_sample, gather_points
 
 Array = jax.Array
 

@@ -10,7 +10,7 @@ keeps one big [B*P, n, C] matmul stream on the MXU instead of 16 small ones.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ feature mixing ride the MXU; no python loops.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -13,7 +13,7 @@ output is rotation-invariant.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -22,8 +22,7 @@ tree templated D=2/3/5; here D is just the trailing axis).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

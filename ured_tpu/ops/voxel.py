@@ -17,7 +17,6 @@ Grids are cubic with ``scale`` vertices per side over [-1, 1].
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

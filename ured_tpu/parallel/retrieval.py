@@ -11,12 +11,11 @@ candidates instead of the reference's chunked 512-at-a-time python loop
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 Array = jax.Array
 

@@ -13,9 +13,8 @@ only the dm or re module subtrees out of a checkpoint into a fresh state.
 from __future__ import annotations
 
 import os
-from typing import Any, Iterable, Optional
+from typing import Iterable, Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 DM_MODULES = (

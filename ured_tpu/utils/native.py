@@ -85,11 +85,11 @@ def sample_surface_native(verts: np.ndarray, faces: np.ndarray,
         from ured_tpu.data.preprocessing import sample_surface_with_mat
 
         rng = np.random.default_rng(seed)
-        pa = sample_surface_with_mat(verts, faces, vertex_mat, n, rng)
-        from ured_tpu.data.parametric import get_default_param  # noqa: F401
-        pts = None  # computed by caller via pa @ x0 in the fallback path
-        raise RuntimeError("native library unavailable; use "
-                           "sample_surface_with_mat directly")
+        pa = sample_surface_with_mat(verts, faces, vertex_mat, n, rng,
+                                     use_native=False)
+        # points are pa @ default_param; callers that need them compute
+        # that product themselves, so return NaNs to make misuse loud
+        return np.full((n, 3), np.nan), pa
     verts = np.ascontiguousarray(verts, np.float64)
     faces = np.ascontiguousarray(faces, np.int64)
     va = np.ascontiguousarray(vertex_mat, np.float64)
