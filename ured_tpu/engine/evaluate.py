@@ -123,6 +123,23 @@ def make_eval_step(cfg: URedConfig, model: URED, k_candidates: int = 1):
     return eval_step
 
 
+def occlude_eval_batch(batch: Dict[str, Array], key,
+                       mode: str = "mixed") -> Dict[str, Array]:
+    """Partial-target evaluation: synthesize occlusions on device and carry
+    the per-point labels/semantics through the same kept-index gather — the
+    paper's partial-point-cloud setting (reference evaluates partial targets
+    via the dataset's occlusion synthesis, ``partnet_dataset.py:50-62``)."""
+    from ured_tpu.data.occlusion import occlude, recenter
+
+    occ, idx = occlude(batch["x"], batch["tgt_sem"], key, mode=mode)
+    occ, _ = recenter(occ)
+    return {
+        "x": occ,
+        "labels": jnp.take_along_axis(batch["labels"], idx, axis=1),
+        "tgt_sem": jnp.take_along_axis(batch["tgt_sem"], idx, axis=1),
+    }
+
+
 def build_source_db(cfg: URedConfig, model: URED, variables,
                     src_points: Array, src_sems: Array,
                     src_mats: Array, chunk: int = 512) -> Dict[str, Array]:
