@@ -94,3 +94,12 @@ def test_train_loop_smoke():
     state, metrics = train(cfg, num_steps=3, log_every=100)
     assert int(state.step) == 3
     assert np.isfinite(float(metrics["all_loss"]))
+
+
+def test_train_on_partial_targets():
+    cfg = _tiny_cfg()
+    cfg.extras["synthetic_targets"] = 8
+    cfg.extras["synthetic_sources"] = 6
+    cfg.extras["train_on_partial"] = True
+    state, metrics = train(cfg, num_steps=2, log_every=100)
+    assert np.isfinite(float(metrics["all_loss"]))

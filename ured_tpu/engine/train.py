@@ -259,6 +259,26 @@ def train(cfg: URedConfig, num_steps: Optional[int] = None,
 
     total_steps = num_steps if num_steps is not None \
         else cfg.epochs * steps_per_epoch
+    # optional partial-target training: synthesize occlusions on device
+    # before the step (the paper's partial setting; the reference's live
+    # loop trains on full targets and only returns the occluded copy,
+    # train.py:190 — set extras['train_on_partial'] to enable)
+    train_on_partial = bool(cfg.extras.get("train_on_partial", False))
+    if train_on_partial:
+        from ured_tpu.data.occlusion import occlude, recenter
+
+        @jax.jit
+        def make_partial(batch, key):
+            occ, kept = occlude(batch["x"], batch["tgt_sem"], key,
+                                mode="mixed")
+            occ, _ = recenter(occ)
+            out = dict(batch)
+            out["x"] = occ
+            out["labels"] = jnp.take_along_axis(batch["labels"], kept, 1)
+            out["tgt_sem"] = jnp.take_along_axis(batch["tgt_sem"], kept, 1)
+            return out
+
+    key = jax.random.PRNGKey(cfg.seed)
     metrics = {}
     t0 = time.perf_counter()
     for step in range(total_steps):
@@ -267,6 +287,9 @@ def train(cfg: URedConfig, num_steps: Optional[int] = None,
         batch = {k: jnp.asarray(v)
                  for k, v in synthetic.make_batch(data, idx,
                                                   cfg.MAX_NUM_PARTS).items()}
+        if train_on_partial:
+            key, sub = jax.random.split(key)
+            batch = make_partial(batch, sub)
         state, metrics = step_fn(state, batch, jnp.asarray(epoch))
         if writer is not None:
             writer.write(step, {k: float(v) for k, v in metrics.items()})
