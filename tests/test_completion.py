@@ -21,7 +21,8 @@ def test_vrcnet_shapes(rng):
     partial = jnp.asarray(rng.normal(size=(2, 128, 3)), jnp.float32)
     m = VRCNet(num_coarse=32, up_factor=4, latent_dim=64)
     v = m.init(jax.random.PRNGKey(0), partial, train=False)
-    coarse, fine = m.apply(v, partial, train=False)
+    coarse, fine, kl = m.apply(v, partial, train=False)
+    assert float(kl) == 0.0  # no gt -> prior path, no KL
     assert coarse.shape == (2, 32, 3)
     assert fine.shape == (2, 128, 3)
     # fine points stay near their coarse centers (bounded tanh offsets)
@@ -60,3 +61,20 @@ def test_pcn_trains(rng):
         upd, opt = tx.update(g, opt)
         params = optax.apply_updates(params, upd)
     assert float(loss_fn(params)) < l0
+
+
+def test_vrcnet_dual_path_kl(rng):
+    import jax
+
+    partial = jnp.asarray(rng.normal(size=(2, 64, 3)), jnp.float32)
+    gt = jnp.asarray(rng.normal(size=(2, 128, 3)), jnp.float32)
+    m = VRCNet(num_coarse=16, up_factor=4, latent_dim=32, size_z=8)
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "sample": jax.random.PRNGKey(1)}, partial, gt, train=True)
+    coarse, fine, kl = m.apply(v, partial, gt, train=True,
+                               rngs={"sample": jax.random.PRNGKey(2)})
+    assert np.isfinite(float(kl)) and float(kl) >= 0
+    # posterior/prior/generator parameter groups exist (vrcnet.py:419-422)
+    for name in ("prior_infer", "posterior_infer1", "posterior_infer2",
+                 "generator"):
+        assert name in v["params"], name

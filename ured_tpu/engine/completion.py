@@ -60,22 +60,46 @@ def make_lr_schedule(base_lr: float, steps_per_epoch: int,
                                 [warmup_epochs * steps_per_epoch])
 
 
-def completion_loss(coarse, fine, gt, alpha: float):
-    """DCD on the fine output + DCD on coarse (reference net losses return
-    (loss2, net_loss), ``train.py:146``)."""
+def completion_loss(coarse, fine, gt, alpha: float, kl=0.0,
+                    kl_weight: float = 0.01):
+    """DCD on the fine output + DCD on coarse + optional KL (the dual-path
+    probabilistic term; reference net losses return (loss2, net_loss),
+    ``train.py:146``)."""
     loss_fine, _, _ = calc_dcd(fine, gt, alpha=alpha)
     loss_coarse, _, _ = calc_dcd(coarse, gt, alpha=alpha)
-    return jnp.mean(loss_fine) + 0.5 * jnp.mean(loss_coarse)
+    return jnp.mean(loss_fine) + 0.5 * jnp.mean(loss_coarse) \
+        + kl_weight * kl
 
 
-def make_completion_step(model, tx):
-    def loss_fn(params, partial, gt, alpha):
-        coarse, fine = model.apply({"params": params}, partial, train=True)
-        return completion_loss(coarse, fine, gt, alpha)
+def apply_completion(model, params, partial, gt=None, train: bool = True,
+                     rng=None):
+    """Model-agnostic forward: returns (coarse, fine, kl).  VRCNet consumes
+    the gt path + a sampling rng during training; PCN-style models ignore
+    both."""
+    from ured_tpu.models.completion import VRCNet
+
+    if isinstance(model, VRCNet):
+        rngs = {"sample": rng} if (train and rng is not None) else None
+        return model.apply({"params": params}, partial,
+                           gt if train else None, train=train, rngs=rngs)
+    coarse, fine = model.apply({"params": params}, partial, train=train)
+    return coarse, fine, jnp.zeros((), jnp.float32)
+
+
+def make_completion_step(model, tx, base_rng=None):
+    import jax.random as jrandom
+
+    base = base_rng if base_rng is not None else jrandom.PRNGKey(0)
+
+    def loss_fn(params, partial, gt, alpha, rng):
+        coarse, fine, kl = apply_completion(model, params, partial, gt,
+                                            train=True, rng=rng)
+        return completion_loss(coarse, fine, gt, alpha, kl)
 
     def step(state: CompletionState, partial, gt, alpha):
+        rng = jrandom.fold_in(base, state.step)
         loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, partial, gt, alpha)
+            state.params, partial, gt, alpha, rng)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return CompletionState(state.step + 1, params, new_opt), loss
@@ -87,7 +111,7 @@ def make_eval_metrics(model):
     """dcd / cd_p / cd_t / f1 meters (reference ``val:173-240``)."""
 
     def metrics_fn(params, partial, gt):
-        _, fine = model.apply({"params": params}, partial, train=False)
+        _, fine, _ = apply_completion(model, params, partial, train=False)
         dcd, _, _ = calc_dcd(fine, gt)
         cd_p, cd_t, f1 = calc_cd(fine, gt, calc_f1=True)
         return {"dcd": dcd.mean(), "cd_p": cd_p.mean(),
@@ -119,8 +143,8 @@ def make_gan_steps(model, disc, tx_g, tx_d, alpha: float = 1000.0,
 
     def d_step(d_state: CompletionState, g_params, partial, gt):
         def loss_fn(d_params):
-            _, fake = model.apply({"params": g_params}, partial,
-                                  train=False)
+            _, fake, _ = apply_completion(model, g_params, partial,
+                                          train=False)
             real_score = disc.apply({"params": d_params}, gt, train=True)
             fake_score = disc.apply({"params": d_params},
                                     jax.lax.stop_gradient(fake), train=True)
@@ -136,9 +160,10 @@ def make_gan_steps(model, disc, tx_g, tx_d, alpha: float = 1000.0,
 
     def g_step(g_state: CompletionState, d_params, partial, gt):
         def loss_fn(g_params):
-            coarse, fine = model.apply({"params": g_params}, partial,
-                                       train=True)
-            rec = completion_loss(coarse, fine, gt, alpha)
+            coarse, fine, kl = apply_completion(model, g_params, partial,
+                                                gt, train=True,
+                                                rng=jax.random.PRNGKey(0))
+            rec = completion_loss(coarse, fine, gt, alpha, kl)
             adv = -jnp.mean(disc.apply({"params": d_params}, fine,
                                        train=False))
             return rec + adv_weight * adv
@@ -177,8 +202,16 @@ def train_completion(model_name: str = "pcn", epochs: int = 2,
 
     schedule = make_lr_schedule(base_lr, steps_per_epoch)
     tx = optax.adam(schedule)
-    variables = model.init(jax.random.PRNGKey(seed),
-                           jnp.asarray(partial[:batch_size]), train=False)
+    if model_name == "vrcnet":
+        variables = model.init(
+            {"params": jax.random.PRNGKey(seed),
+             "sample": jax.random.PRNGKey(seed + 1)},
+            jnp.asarray(partial[:batch_size]),
+            jnp.asarray(gt[:batch_size]), train=True)
+    else:
+        variables = model.init(jax.random.PRNGKey(seed),
+                               jnp.asarray(partial[:batch_size]),
+                               train=False)
     state = CompletionState(jnp.zeros((), jnp.int32), variables["params"],
                             tx.init(variables["params"]))
 

@@ -15,7 +15,7 @@ All channels-last, fixed shapes, MXU-friendly.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -117,41 +117,97 @@ class SKSAModule(nn.Module):
         return w[:, None, 0] * b1 + w[:, None, 1] * b2
 
 
+class LinearResBlock(nn.Module):
+    """Residual linear block (ref ``vrcnet.py:Linear_ResBlock``)."""
+
+    output_size: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = nn.relu(nn.Dense(x.shape[-1])(x))
+        h = nn.Dense(self.output_size)(h)
+        skip = nn.Dense(self.output_size)(x)
+        return nn.relu(h + skip)
+
+
 class VRCNet(nn.Module):
-    """Variational-relational completion net (capability port of
-    ``vrcnet.py:Model:406``): SK-SA encoder, coarse sampling skeleton,
-    attention-refined dense output."""
+    """Variational-relational completion net (port of ``vrcnet.py:Model:
+    406``): a PCN-style encoder feeds a **dual-path probabilistic module**
+    — the complete cloud's posterior q(z|gt) trains against the partial
+    cloud's prior p(z|partial) through a KL term (``posterior_infer`` /
+    ``prior_infer`` / ``generator``, ref ``:419-422``) — and an SK-SA
+    relational refinement produces the dense output.
+
+    Call with ``gt`` during training to get (coarse, fine, kl); without it
+    (inference) the prior path drives generation and kl is 0.
+    """
 
     num_coarse: int = 256
     up_factor: int = 4
     latent_dim: int = 512
+    size_z: int = 64
 
     @nn.compact
-    def __call__(self, partial: Array, train: bool = True
-                 ) -> Tuple[Array, Array]:
+    def __call__(self, partial: Array, gt: Optional[Array] = None,
+                 train: bool = True):
         b, n, _ = partial.shape
-        h = nn.relu(nn.Dense(128)(partial))
-        h = SKSAModule(128)(h)
-        h = nn.relu(nn.Dense(256)(h))
-        h = SKSAModule(256)(h)
-        code = jnp.max(nn.Dense(self.latent_dim)(h), axis=1)
+        h = nn.relu(nn.Dense(128, name="enc0")(partial))
+        h = SKSAModule(128, name="sksa0")(h)
+        h = nn.relu(nn.Dense(256, name="enc1")(h))
+        h = SKSAModule(256, name="sksa1")(h)
+        feat_partial = jnp.max(nn.Dense(self.latent_dim,
+                                        name="enc_out")(h), axis=1)
 
-        # coarse skeleton from the code
-        g = nn.relu(nn.Dense(1024)(code))
-        coarse = nn.Dense(self.num_coarse * 3)(g).reshape(
+        # prior from the partial observation
+        prior = LinearResBlock(2 * self.size_z,
+                               name="prior_infer")(feat_partial)
+        p_mu, p_logvar = jnp.split(prior, 2, axis=-1)
+
+        kl = jnp.zeros((), jnp.float32)
+        if gt is not None and train:
+            gt_h = nn.relu(nn.Dense(256, name="gt_enc0")(gt))
+            feat_gt = jnp.max(nn.Dense(self.latent_dim,
+                                       name="gt_enc1")(gt_h), axis=1)
+            post = LinearResBlock(self.latent_dim,
+                                  name="posterior_infer1")(feat_gt)
+            post = LinearResBlock(2 * self.size_z,
+                                  name="posterior_infer2")(post)
+            q_mu, q_logvar = jnp.split(post, 2, axis=-1)
+            # KL(q || p), diagonal Gaussians
+            kl = 0.5 * jnp.mean(jnp.sum(
+                p_logvar - q_logvar
+                + (jnp.exp(q_logvar) + (q_mu - p_mu) ** 2)
+                / jnp.exp(p_logvar) - 1.0, axis=-1))
+            z_mu, z_logvar = q_mu, q_logvar
+        else:
+            z_mu, z_logvar = p_mu, p_logvar
+
+        if train:
+            eps = jax.random.normal(
+                self.make_rng("sample") if self.has_rng("sample")
+                else jax.random.PRNGKey(0), z_mu.shape)
+            z = z_mu + jnp.exp(0.5 * z_logvar) * eps
+        else:
+            z = z_mu
+        code = feat_partial + LinearResBlock(
+            self.latent_dim, name="generator")(z)
+
+        # coarse skeleton from the fused code
+        g = nn.relu(nn.Dense(1024, name="dec0")(code))
+        coarse = nn.Dense(self.num_coarse * 3, name="dec_coarse")(g).reshape(
             b, self.num_coarse, 3)
 
-        # refine: concat coarse points + code, attention, offset regression
+        # relational refinement: attention over coarse + code, offsets
         code_exp = jnp.broadcast_to(
             code[:, None, :], (b, self.num_coarse, self.latent_dim))
         f = jnp.concatenate([coarse, code_exp], axis=-1)
-        f = nn.relu(nn.Dense(256)(f))
-        f = SAModule(256)(f)
-        up = nn.Dense(self.up_factor * 3)(f).reshape(
+        f = nn.relu(nn.Dense(256, name="refine0")(f))
+        f = SAModule(256, name="refine_sa")(f)
+        up = nn.Dense(self.up_factor * 3, name="refine_up")(f).reshape(
             b, self.num_coarse * self.up_factor, 3)
         center = jnp.repeat(coarse, self.up_factor, axis=1)
         fine = center + 0.1 * jnp.tanh(up)
-        return coarse, fine
+        return coarse, fine, kl
 
 
 class PointDiscriminator(nn.Module):
