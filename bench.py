@@ -47,8 +47,11 @@ def main():
         cfg, model, variables,
         jnp.asarray(data.src_points), jnp.asarray(data.src_sems),
         jnp.asarray(data.src_mats))
-    step = jax.jit(make_eval_step(cfg, model))
 
+    # per-batch jitted step (make_corpus_eval fuses the whole split into one
+    # lax.map program, but its compile is prohibitively slow on remote-
+    # compile backends; the per-batch loop is within ~20% at batch 32)
+    step = jax.jit(make_eval_step(cfg, model))
     batches = []
     for i in range(0, num_targets, cfg.batch_size):
         batches.append({

@@ -49,8 +49,46 @@ def test_multi_tile(rng):
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(ri2))
 
 
-def test_bad_tile_raises(rng):
+def test_odd_n_single_full_tile(rng):
+    # N=200 is not divisible by 128, but a full-array tile is always legal
     x = jnp.asarray(rng.normal(size=(1, 200, 3)), jnp.float32)
-    with pytest.raises(ValueError):
-        nn_distance_pallas(x, x, jnp.ones((1, 200)), jnp.ones((1, 200)),
-                           tile_n=128, interpret=True)
+    y = jnp.asarray(rng.normal(size=(1, 128, 3)), jnp.float32)
+    d1, i1, d2, i2 = nn_distance_pallas(
+        x, y, jnp.ones((1, 200)), jnp.ones((1, 128)), interpret=True)
+    rd1, ri1, rd2, ri2 = chamfer_reference(x, y)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(rd1), atol=1e-4)
+
+
+def test_prime_n_single_tile(rng):
+    # prime N: only the full-array tile divides it, which is legal (block
+    # dims equal to the full array dims bypass the (8, 128) tiling rule)
+    from ured_tpu.ops.chamfer_pallas import pick_tile
+
+    assert pick_tile(127, 127) == 127
+    x = jnp.asarray(rng.normal(size=(1, 127, 3)), jnp.float32)
+    d1, _, _, _ = _run(x, x, jnp.ones((1, 127)), jnp.ones((1, 127)))
+    np.testing.assert_allclose(np.asarray(d1), 0.0, atol=1e-5)
+
+
+def test_tile_vmem_budget():
+    from ured_tpu.ops.chamfer_pallas import pick_tile, _BLOCK_ELEMS
+
+    # m=8192 fits with a 128-lane tile
+    tn = pick_tile(2048, 8192)
+    assert tn > 0 and tn * 8192 <= _BLOCK_ELEMS and 2048 % tn == 0
+    # m=16384 cannot fit a >=128 tile -> caller swaps orientation or
+    # falls back to the XLA path
+    assert pick_tile(2048, 16384) == 0
+
+
+def test_swapped_orientation_dispatch(rng):
+    # nn_distance with a long second cloud swaps sides internally; results
+    # must match the direct computation
+    from ured_tpu.ops.chamfer import chamfer_raw
+
+    x = jnp.asarray(rng.normal(size=(1, 128, 3)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(1, 256, 3)), jnp.float32)
+    d1, i1, d2, i2 = chamfer_raw(x, y)
+    rd1, ri1, rd2, ri2 = chamfer_reference(x, y)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(rd1), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(ri2))

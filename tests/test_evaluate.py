@@ -68,3 +68,31 @@ def test_eval_step_and_full_evaluate():
     metrics = evaluate(cfg, model, variables, data)
     for key in ("best_full_cd_loss", "best_full_re_loss", "ndcg@40"):
         assert np.isfinite(metrics[key])
+
+
+def test_corpus_eval_matches_per_batch():
+    from ured_tpu.engine.evaluate import make_corpus_eval, stack_batches
+
+    cfg = _tiny_cfg()
+    data = synthetic.generate(num_targets=4, num_sources=6, n_points=64,
+                              points_per_part=16, max_parts=8, seed=0)
+    model = URED(cfg)
+    init_batch = {k: jnp.asarray(v) for k, v in synthetic.make_batch(
+        data, np.arange(2), 8).items()}
+    variables = model.init(jax.random.PRNGKey(0), init_batch, train=False)
+    src_db = build_source_db(cfg, model, variables,
+                             jnp.asarray(data.src_points),
+                             jnp.asarray(data.src_sems),
+                             jnp.asarray(data.src_mats), chunk=6)
+    corpus_eval = jax.jit(make_corpus_eval(cfg, model))
+    batches = stack_batches(data, cfg.batch_size)
+    out = corpus_eval(variables, batches, src_db)
+    assert out["cd_full"].shape == (2, 2)
+
+    step = jax.jit(make_eval_step(cfg, model))
+    single = step(variables, {"x": jnp.asarray(data.points[:2]),
+                              "labels": jnp.asarray(data.labels[:2]),
+                              "tgt_sem": jnp.asarray(data.semantics[:2])},
+                  src_db)
+    np.testing.assert_allclose(np.asarray(out["cd_full"][0]),
+                               np.asarray(single["cd_full"]), rtol=1e-5)

@@ -137,9 +137,13 @@ def residual_retrieval_loss(x: Array, deformed_flat: Array,
       deformed_mask: [B, P*n] validity of assembly points.
       residuals: [B, N, 3] predicted per-point residual vectors.
     """
-    res = knn_points(x, deformed_flat, K=1, p2_mask=deformed_mask,
-                     return_nn=True)
-    nn = res.knn[:, :, 0, :]                              # [B, N, 3]
+    # K=1 nearest neighbor through the fused nn_distance kernel: no
+    # [N, P*n] distance matrix in HBM (knn_points would materialize ~4 GB
+    # at eval scale)
+    from ured_tpu.ops.chamfer import chamfer_raw
+
+    _, idx1, _, _ = chamfer_raw(x, deformed_flat, None, deformed_mask)
+    nn = jnp.take_along_axis(deformed_flat, idx1[..., None], axis=-2)
     res_nn = x + residuals - nn
     loss = jnp.mean(jnp.sum(jnp.abs(res_nn), axis=-1))
     reg = jnp.mean(jnp.sum(jnp.abs(residuals), axis=-1))

@@ -62,13 +62,13 @@ def _nn_one_direction(x, y, y_mask):
     return dist, idx
 
 
-def _pallas_eligible(x: Array, y: Array) -> bool:
-    """Use the fused Pallas kernel on TPU when tile constraints hold."""
-    if x.ndim != 3 or x.shape[-1] != 3:
-        return False
-    n, m = x.shape[1], y.shape[1]
-    tn = min(512, n)
-    if n % tn or n < 128 or m % 128:
+def _pallas_eligible(n: int, m: int) -> bool:
+    """Tile constraints for the fused kernel (after any orientation swap):
+    the non-tiled cloud lives whole in VMEM as [M, 3] padded to 128 lanes
+    (~512 B/point), so M is capped; the tiled side needs a valid tile."""
+    from ured_tpu.ops.chamfer_pallas import pick_tile
+
+    if n < 128 or m % 128 or m > 8192 or pick_tile(n, m) == 0:
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -99,7 +99,12 @@ def nn_distance(x: Array, y: Array, x_mask: Array, y_mask: Array):
       (dist1 [B, N], idx1 [B, N], dist2 [B, M], idx2 [B, M]) where
       dist1/idx1 map x -> nearest y and dist2/idx2 map y -> nearest x.
     """
-    if _pallas_eligible(x, y):
+    # The fused kernel wins when the tiled (first) cloud is the long one;
+    # for m > n the XLA matmul+argmin path benchmarks faster (the MXU
+    # einsum amortizes better than VPU difference tiles), so no swap.
+    if x.ndim == 3 and x.shape[-1] == 3 \
+            and x.shape[1] >= y.shape[1] \
+            and _pallas_eligible(x.shape[1], y.shape[1]):
         from ured_tpu.ops.chamfer_pallas import nn_distance_pallas
 
         return nn_distance_pallas(x, y, x_mask, y_mask)

@@ -27,6 +27,29 @@ Array = jax.Array
 
 _BIG = 1e30
 
+# budget for the [TN, M] f32 distance block (+ inputs/scratch head-room)
+# against ~16 MB VMEM per core; y rides as [M, 3] padded to 128 lanes, so
+# M itself is bounded by the eligibility check
+_BLOCK_ELEMS = 1_500_000
+
+
+def pick_tile(n: int, m: int, tile_n: int = 512) -> int:
+    """Largest x-tile that divides n and fits the VMEM budget.
+
+    Tiles land in the lane dimension of the mask/output blocks, so they
+    must be multiples of 128 — or equal to n itself (full-array blocks
+    bypass the tiling rule).
+    """
+    cap = _BLOCK_ELEMS // max(m, 1)
+    if n <= cap and n <= tile_n:
+        return n
+    tn = min(tile_n, n, cap) // 128 * 128
+    while tn >= 128:
+        if n % tn == 0:
+            return tn
+        tn -= 128
+    return 0
+
 
 def _nn_kernel(x_ref, y_ref, xm_ref, ym_ref,
                d1_ref, i1_ref, d2_ref, i2_ref,
@@ -80,9 +103,9 @@ def nn_distance_pallas(x: Array, y: Array, x_mask: Array, y_mask: Array,
     """
     b, n, _ = x.shape
     m = y.shape[1]
-    tn = min(tile_n, n)
-    if n % tn:
-        raise ValueError(f"N={n} not divisible by tile {tn}")
+    tn = pick_tile(n, m, tile_n)
+    if tn == 0:
+        raise ValueError(f"no VMEM-fitting tile for N={n}, M={m}")
     num_tiles = n // tn
 
     kernel = functools.partial(_nn_kernel, tn=tn, num_tiles=num_tiles)
