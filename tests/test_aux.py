@@ -158,3 +158,19 @@ def test_metric_writer_and_timer(tmp_path):
     x = jnp.ones((8, 8)) @ jnp.ones((8, 8))
     dt = t.stop(x)
     assert dt > 0 and t.mean > 0
+
+
+def test_all_reference_configs_load():
+    """Every reference JSON config loads unchanged (CLI compatibility)."""
+    import glob
+
+    paths = sorted(glob.glob("/root/reference/config/*.json"))
+    assert paths, "reference configs missing"
+    for p in paths:
+        cfg = URedConfig.from_json(p)
+        assert cfg.category
+        assert cfg.epochs > 0
+        # round-trips through our serializer
+        d = cfg.to_dict()
+        back = URedConfig.from_dict(d)
+        assert back.batch_size == cfg.batch_size

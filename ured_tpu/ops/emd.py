@@ -47,9 +47,13 @@ def _auction_single(cost: Array, eps: float, iters: int) -> Array:
         unassigned = assign < 0                       # [N]
 
         values = value0 - price[None, :]              # [N, N]
-        top2, top2_idx = jax.lax.top_k(values, 2)
-        j1 = top2_idx[:, 0]                           # best item per bidder
-        bid = (top2[:, 0] - top2[:, 1]) + eps         # bid increment
+        # best + second-best via two max passes (lax.top_k sorts the whole
+        # lane axis — ~50x slower inside the iteration loop)
+        v1 = jnp.max(values, axis=1)
+        j1 = jnp.argmax(values, axis=1)               # best item per bidder
+        masked = values.at[jnp.arange(n), j1].set(_NEG)
+        v2 = jnp.max(masked, axis=1)
+        bid = (v1 - v2) + eps                         # bid increment
 
         # resolve: per item, the highest bidding unassigned bidder wins
         eff_bid = jnp.where(unassigned, bid, _NEG)
