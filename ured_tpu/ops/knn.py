@@ -40,9 +40,19 @@ def knn_points(p1: Array, p2: Array, K: int,
     d = pairwise_sqdist(p1, p2)
     if p2_mask is not None:
         d = d + (_BIG * (1.0 - p2_mask.astype(d.dtype)))[..., None, :]
-    if K == 1:
-        dists = jnp.min(d, axis=-1, keepdims=True)
-        idx = jnp.argmin(d, axis=-1, keepdims=True).astype(jnp.int32)
+    if K <= 4:
+        # iterative min/argmax passes: lax.top_k sorts the entire lane axis
+        # and is dramatically slower for small K (see the EMD/eval cases)
+        dd = d
+        ds, ids = [], []
+        for _ in range(K):
+            ds.append(jnp.min(dd, axis=-1))
+            ids.append(jnp.argmin(dd, axis=-1).astype(jnp.int32))
+            dd = jnp.where(
+                jax.nn.one_hot(ids[-1], dd.shape[-1], dtype=bool),
+                jnp.inf, dd)
+        dists = jnp.stack(ds, axis=-1)
+        idx = jnp.stack(ids, axis=-1)
     else:
         neg, idx = jax.lax.top_k(-d, K)
         dists = -neg

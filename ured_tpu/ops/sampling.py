@@ -95,9 +95,10 @@ def three_nn(unknown: Array, known: Array) -> Tuple[Array, Array]:
     unknown [B, N, 3], known [B, M, 3] -> (dists [B, N, 3], idx [B, N, 3]),
     squared distances ascending (reference ``interpolate_gpu.cu``).
     """
-    d = pairwise_sqdist(unknown, known)
-    neg, idx = jax.lax.top_k(-d, 3)
-    return -neg, idx.astype(jnp.int32)
+    from ured_tpu.ops.knn import knn_points
+
+    res = knn_points(unknown, known, 3)  # iterative small-K path
+    return res.dists, res.idx
 
 
 def three_interpolate(features: Array, idx: Array, weight: Array) -> Array:
