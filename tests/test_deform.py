@@ -164,3 +164,41 @@ def test_group_points_by_part(rng):
 
     # absent part: fully invalid
     assert int(valid[0, 3].sum()) == 0
+
+
+def test_icp_forward_and_param_init(rng):
+    from ured_tpu.ops.deform import get_param_init, icp_forward
+
+    pts = rng.uniform(-1, 1, size=(16, 3))
+    box = _axis_aligned_box(np.zeros(3), np.ones(3))
+    A = jnp.asarray(compute_param_linear_equation(pts, box), jnp.float32)[None, None]
+    x0 = jnp.asarray(get_default_param(box), jnp.float32)[None, None]
+    delta = jnp.asarray(rng.normal(size=(1, 1, 6)) * 0.1, jnp.float32)
+    # absolute-params forward == delta forward with default folded in
+    p_abs = get_param_init(delta, x0, alpha=0.1)
+    from ured_tpu.ops.deform import get_shape
+    np.testing.assert_allclose(
+        np.asarray(icp_forward(A, p_abs)),
+        np.asarray(get_shape(A, delta, x0, alpha=0.1)), atol=1e-5)
+
+
+def test_fit_params_icp_recovers_transform(rng):
+    from ured_tpu.ops.deform import fit_params_icp, get_param_init, icp_forward
+
+    pts = rng.uniform(-1, 1, size=(64, 3))
+    box = _axis_aligned_box(np.zeros(3), np.ones(3))
+    A = jnp.asarray(compute_param_linear_equation(pts, box),
+                    jnp.float32)[None, None]
+    x0 = jnp.asarray(get_default_param(box), jnp.float32)[None, None]
+    # ground-truth deformation: translate + anisotropic scale
+    true_p = x0 + jnp.asarray([[[0.3, -0.2, 0.1, 0.4, -0.1, 0.2]]],
+                              jnp.float32)
+    target = icp_forward(A, true_p).reshape(1, -1, 3)
+    # start from the rest pose; ICP should recover the true params
+    fitted = fit_params_icp(A, x0, target, iters=12)
+    np.testing.assert_allclose(np.asarray(fitted), np.asarray(true_p),
+                               atol=2e-2)
+    # post-fit chamfer is tiny
+    from ured_tpu.ops import chamfer_distance
+    cd = chamfer_distance(icp_forward(A, fitted).reshape(1, -1, 3), target)
+    assert float(cd[0]) < 1e-3

@@ -59,6 +59,64 @@ def get_symmetric(pc: Array) -> Array:
     return pc * jnp.array([-1.0, 1.0, 1.0], pc.dtype)
 
 
+def icp_forward(A: Array, params: Array,
+                connectivity: Optional[Array] = None) -> Array:
+    """Absolute-parameter deformation forward (reference
+    ``dataset_utils.py:icp_forward:775-788``): like ``get_shape`` but the
+    params already include the rest pose.  A [B, P, 3n, 6], params [B, P, 6].
+    """
+    return get_shape(A, params, default_param=None, alpha=1.0,
+                     connectivity=connectivity)
+
+
+def get_param_init(params: Array, default_param: Array,
+                   alpha: float = 1.0) -> Array:
+    """Network deltas -> absolute params for ICP initialization (reference
+    ``dataset_utils.py:get_param_init:741``): p_abs = alpha * delta + p0."""
+    return alpha * params + default_param
+
+
+def fit_params_icp(A: Array, init_params: Array, target: Array,
+                   iters: int = 10,
+                   target_mask: Optional[Array] = None,
+                   damping: float = 1e-6) -> Array:
+    """ICP refinement of absolute box parameters (the post-process the
+    reference initializes with ``get_param_init``/``icp_forward``).
+
+    Each iteration: deform with current params, match every deformed point
+    to its nearest target point (``nn_distance``), then solve the linear
+    least squares ``A p = matched`` per part — exact because the deformation
+    is linear in p.  Fully jittable (``lax.fori_loop`` + 6x6 solves).
+
+    Args:
+      A: [B, P, 3n, 6]; init_params [B, P, 6] absolute; target [B, M, 3].
+    Returns refined absolute params [B, P, 6].
+    """
+    b, p, k3, _ = A.shape
+    n = k3 // 3
+    A_r = A.reshape(b * p, n, 3, 6)
+    # normal-equation matrices are constant across iterations
+    ata = jnp.einsum("qnid,qnie->qde", A_r, A_r) \
+        + damping * jnp.eye(6)[None]
+
+    def body(_, params):
+        shape = icp_forward(A, params.reshape(b, p, 6))       # [B, P, n, 3]
+        flat = shape.reshape(b, p * n, 3)
+        from ured_tpu.ops.chamfer import chamfer_raw
+
+        _, idx1, _, _ = chamfer_raw(flat, target, None, target_mask)
+        matched = jnp.take_along_axis(
+            target, idx1[..., None], axis=-2)                 # [B, P*n, 3]
+        m = matched.reshape(b * p, n, 3)
+        atb = jnp.einsum("qnid,qni->qd", A_r, m)
+        new = jnp.linalg.solve(ata, atb[..., None])[..., 0]   # [B*P, 6]
+        return new
+
+    out = jax.lax.fori_loop(0, iters, body,
+                            init_params.reshape(b * p, 6))
+    return out.reshape(b, p, 6)
+
+
 def compute_aabbox(points: Array, mask: Optional[Array] = None) -> Array:
     """Axis-aligned box (center, half-scale) of a point set.
 
