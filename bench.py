@@ -39,8 +39,14 @@ def main():
         max_parts=cfg.MAX_NUM_PARTS, seed=0)
 
     model = URED(cfg)
+    # init on a tiny batch: parameter shapes don't depend on batch/point
+    # counts, and the full-scale init compile costs minutes on
+    # remote-compile backends
+    tiny = synthetic.generate(
+        num_targets=1, num_sources=8, n_points=256, points_per_part=64,
+        max_parts=cfg.MAX_NUM_PARTS, seed=1)
     init_batch = {k: jnp.asarray(v) for k, v in synthetic.make_batch(
-        data, np.arange(cfg.batch_size), cfg.MAX_NUM_PARTS).items()}
+        tiny, np.arange(1), cfg.MAX_NUM_PARTS).items()}
     variables = model.init(jax.random.PRNGKey(0), init_batch, train=False)
 
     src_db = build_source_db(
