@@ -206,6 +206,7 @@ def evaluate(cfg: URedConfig, model: URED, variables, data,
     step = jax.jit(make_eval_step(cfg, model))
 
     cds, res, ndcgs = [], [], []
+    cl_correct, cl_total = 0, 0
     for i in range(0, num, bs):
         batch = {
             "x": jnp.asarray(data.points[i:i + bs]),
@@ -215,6 +216,27 @@ def evaluate(cfg: URedConfig, model: URED, variables, data,
         out = step(variables, batch, src_db)
         cds.append(np.asarray(out["cd_full"]))
         res.append(np.asarray(out["re_score"]))
+
+        # retrieval accuracy vs the pseudo-GT label table ("cl acc",
+        # reference dataset_utils.py:get_labels_from_cl:1145-1161)
+        if getattr(data, "label_table", None) is not None:
+            top1 = np.asarray(out["top1"])
+            pm = np.asarray(out["part_mask"])
+            for b in range(top1.shape[0]):
+                for pi in range(top1.shape[1]):
+                    want = data.label_table[i + b, pi]
+                    if pm[b, pi] <= 0 or want < 0:
+                        continue
+                    cl_total += 1
+                    if top1[b, pi] == want:
+                        cl_correct += 1
+                    elif data.dist_src is not None:
+                        # accept mutually-close sources (same leniency as
+                        # the reference's top-k window)
+                        row = data.dist_src[want]
+                        near = np.argsort(row)[:10]
+                        if top1[b, pi] in near:
+                            cl_correct += 1
 
         sims = np.asarray(out["sims"])
         mask = np.asarray(out["part_mask"])
@@ -235,10 +257,11 @@ def evaluate(cfg: URedConfig, model: URED, variables, data,
         "best_full_cd_loss": float(np.mean(np.concatenate(cds))),
         "best_full_re_loss": float(np.mean(np.concatenate(res))),
         "ndcg@40": float(np.mean(ndcgs)) if ndcgs else 0.0,
+        "cl_acc": 100.0 * cl_correct / cl_total if cl_total else 0.0,
     }
     print("best full cd loss: {best_full_cd_loss:.6f} | "
           "best full re loss: {best_full_re_loss:.6f} | "
-          "ndcg@40: {ndcg@40:.4f}".format(**metrics))
+          "ndcg@40: {ndcg@40:.4f} | cl acc: {cl_acc:.1f}%".format(**metrics))
     return metrics
 
 

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 
 from ured_tpu.ops.chamfer import chamfer_distance, masked_mean
 from ured_tpu.ops.deform import get_symmetric
-from ured_tpu.ops.knn import knn_points
 
 Array = jax.Array
 
