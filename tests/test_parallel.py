@@ -137,3 +137,45 @@ def test_contrastive_allgather_consistency():
     per = local_losses(f, g, v)
     np.testing.assert_allclose(float(jnp.mean(per)), float(global_loss),
                                rtol=1e-4)
+
+
+def test_eval_step_gspmd_sharded_db():
+    """The full eval step under jit with the source DB sharded over the db
+    axis and the batch over dp: GSPMD partitions the retrieval matmul and
+    the A-matrix gathers; results must match the unsharded run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ured_tpu.engine.evaluate import build_source_db, make_eval_step
+
+    cfg = _tiny_cfg()
+    data = synthetic.generate(num_targets=8, num_sources=8, n_points=64,
+                              points_per_part=16, max_parts=8, seed=0)
+    model = URED(cfg)
+    init_batch = {k: jnp.asarray(v)
+                  for k, v in synthetic.make_batch(data, np.arange(8),
+                                                   8).items()}
+    variables = model.init(jax.random.PRNGKey(0), init_batch, train=False)
+    src_db = build_source_db(cfg, model, variables,
+                             jnp.asarray(data.src_points),
+                             jnp.asarray(data.src_sems),
+                             jnp.asarray(data.src_mats), chunk=8)
+    batch = {"x": jnp.asarray(data.points[:8]),
+             "labels": jnp.asarray(data.labels[:8]),
+             "tgt_sem": jnp.asarray(data.semantics[:8])}
+
+    step = jax.jit(make_eval_step(cfg, model))
+    want = step(variables, batch, src_db)
+
+    mesh = make_mesh(dp=4, db=2)
+    repl = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("dp"))
+    db = NamedSharding(mesh, P("db"))
+    variables_s = jax.device_put(variables, repl)
+    batch_s = {k: jax.device_put(v, dp) for k, v in batch.items()}
+    src_db_s = {k: jax.device_put(v, db) for k, v in src_db.items()}
+    got = step(variables_s, batch_s, src_db_s)
+
+    np.testing.assert_allclose(np.asarray(got["cd_full"]),
+                               np.asarray(want["cd_full"]), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got["top1"]),
+                                  np.asarray(want["top1"]))
