@@ -35,6 +35,34 @@ def test_ndcg_matches_sklearn():
     np.testing.assert_allclose(ours, theirs, rtol=1e-9)
 
 
+def test_ndcg_from_topk_matches_full_scores():
+    from ured_tpu.utils.metrics import ndcg_from_topk
+
+    rng = np.random.default_rng(1)
+    rel = rng.uniform(size=50)
+    scores = rng.normal(size=50)
+    k = 12
+    topk = np.argsort(-scores)[:k]
+    np.testing.assert_allclose(ndcg_from_topk(rel, topk, k=k),
+                               ndcg_score(rel, scores, k=k), rtol=1e-12)
+
+
+def test_ndcg_relevance_uses_target_part_pair_rows():
+    """An oracle retriever ranking sources by the target part's own pair
+    distances must score NDCG == 1 (reference relevance semantics,
+    ``dataset_utils.py:1165-1176``)."""
+    from ured_tpu.utils.metrics import ndcg_from_topk
+
+    data = synthetic.generate(num_targets=2, num_sources=12, n_points=64,
+                              points_per_part=16, max_parts=8, seed=3)
+    t, pi = 0, 0
+    rel = dcd_relevance(data.pair_dist[t, pi], sigma=0.1)
+    oracle_topk = np.argsort(data.pair_dist[t, pi])[:40]
+    assert ndcg_from_topk(rel, oracle_topk, k=40) == 1.0
+    # and the pseudo-label is exactly the argmin of the same row
+    assert data.label_table[t, pi] == np.argmin(data.pair_dist[t, pi])
+
+
 def test_dcd_relevance_monotone():
     r = dcd_relevance(np.array([0.0, 0.001, 0.01]), sigma=0.001)
     assert r[0] > r[1] > r[2]

@@ -88,6 +88,10 @@ class SyntheticData:
     # pseudo-label table: best source index per (target, part)
     label_table: np.ndarray   # [T, P] int, -1 for absent parts
     dist_src: np.ndarray      # [S, S] source-to-source distances
+    # target-part-to-source distances — the synthetic stand-in for the
+    # reference's per-part DCD pickles (``generate_pair.py:87-122``), the
+    # relevance source for NDCG (``dataset_utils.py:1165-1176``)
+    pair_dist: np.ndarray     # [T, P, S]
 
 
 def generate(num_targets: int = 64, num_sources: int = 64,
@@ -150,12 +154,15 @@ def generate(num_targets: int = 64, num_sources: int = 64,
         labels[t] = labels[t][perm]
         semantics[t] = semantics[t][perm]
 
-        # pseudo-label: same-semantic source with closest half-extents
-        for pi in range(k):
-            sem = part_sems[t, pi]
-            cand = np.where(src_sems == sem)[0]
-            d = np.linalg.norm(src_half[cand] - tgt_part_half[t, pi], axis=1)
-            label_table[t, pi] = cand[np.argmin(d)]
+    # ---- target-part-to-source distance matrix (half-extent proxy for the
+    # PartNet pipeline's on-device DCD pair matrices) + pseudo-labels ----
+    pair_dist = np.linalg.norm(
+        src_half[None, None, :, :] - tgt_part_half[:, :, None, :],
+        axis=-1).astype(np.float32)                      # [T, P, S]
+    pair_dist += 1e6 * (part_sems[:, :, None] != src_sems[None, None, :])
+    for t in range(num_targets):
+        for pi in range(num_parts[t]):
+            label_table[t, pi] = np.argmin(pair_dist[t, pi])
 
     # ---- source-to-source distance matrix (half-extent proxy; the PartNet
     # pipeline computes real DCD distances on device) ----
@@ -169,7 +176,7 @@ def generate(num_targets: int = 64, num_sources: int = 64,
         part_sems=part_sems,
         src_points=src_points, src_mats=src_mats, src_default=src_default,
         src_sems=src_sems, label_table=label_table,
-        dist_src=dist_src.astype(np.float32))
+        dist_src=dist_src.astype(np.float32), pair_dist=pair_dist)
 
 
 def make_batch(data: SyntheticData, idx: np.ndarray,

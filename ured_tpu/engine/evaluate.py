@@ -32,12 +32,13 @@ from ured_tpu.ops.deform import (
     part_aabb,
     part_segment_mean,
 )
-from ured_tpu.parallel.retrieval import l2_normalize, retrieve_topk
+from ured_tpu.parallel.retrieval import retrieve_topk
 
 Array = jax.Array
 
 
-def make_eval_step(cfg: URedConfig, model: URED, k_candidates: int = 1):
+def make_eval_step(cfg: URedConfig, model: URED, k_candidates: int = 1,
+                   ndcg_k: int = 40):
     """Returns jittable ``eval_step(variables, batch, src_db)``.
 
     batch: {x [B, N, 3], labels [B, N], tgt_sem [B, N]}
@@ -47,6 +48,11 @@ def make_eval_step(cfg: URedConfig, model: URED, k_candidates: int = 1):
     reports the best post-deformation Chamfer — the "best full cd loss (from
     retrieval)" contract of reference ``test.py:283`` (its candidate loop as
     one batched scan).
+
+    The step returns only top-k index/score tensors for the retrieval
+    ranking (``sim_topk`` covers NDCG@``ndcg_k``), never the dense
+    [B, P, S] similarity matrix — at 100k sources that matrix is the first
+    thing to blow HBM and the host only ever consumes its top-k.
     """
 
     def eval_step(variables, batch, src_db):
@@ -60,13 +66,16 @@ def make_eval_step(cfg: URedConfig, model: URED, k_candidates: int = 1):
             method=model.encode_target)
         part_f, part_mask, _ = part_segment_mean(per_point, labels, p)
 
-        # retrieval over the whole DB: one [B*P, S] matmul + top-k
+        # retrieval over the whole DB: one [B*P, S] matmul + top-k; one
+        # retrieval wide enough for both the candidate loop and NDCG
+        num_sources = src_db["codes"].shape[0]
+        k_ret = min(max(k_candidates, ndcg_k), num_sources)
         scores, idx = retrieve_topk(
-            part_f.reshape(b * p, -1), src_db["codes"], k=k_candidates)
-        topk = idx.reshape(b, p, k_candidates)              # [B, P, K]
+            part_f.reshape(b * p, -1), src_db["codes"], k=k_ret)
+        sim_topk = idx.reshape(b, p, k_ret)                 # [B, P, Kr]
+        sim_topk_scores = scores.reshape(b, p, k_ret)
+        topk = sim_topk[..., :k_candidates]                 # [B, P, K]
         top1 = topk[..., 0]                                 # [B, P]
-        sims = l2_normalize(part_f.reshape(b * p, -1)) @ \
-            l2_normalize(src_db["codes"]).T                  # [B*P, S]
 
         param_def = part_aabb(x, labels, p)
 
@@ -114,7 +123,8 @@ def make_eval_step(cfg: URedConfig, model: URED, k_candidates: int = 1):
             "top1": top1,                    # [B, P]
             "topk": topk,                    # [B, P, K]
             "part_mask": part_mask,          # [B, P]
-            "sims": sims.reshape(b, p, -1),  # [B, P, S]
+            "sim_topk": sim_topk,            # [B, P, Kr] ranked indices
+            "sim_topk_scores": sim_topk_scores,
             "deformed": deformed,
             "params": params,
             "param_def": param_def,
@@ -189,12 +199,23 @@ def build_source_db(cfg: URedConfig, model: URED, variables,
 
 
 def evaluate(cfg: URedConfig, model: URED, variables, data,
-             batch_size: Optional[int] = None) -> Dict[str, float]:
+             batch_size: Optional[int] = None,
+             ndcg_sigma: Optional[float] = None) -> Dict[str, float]:
     """Full-corpus evaluation on a SyntheticData-like object.
 
     Prints and returns the ``test.py:283-286`` metric trio plus NDCG@40.
+
+    NDCG relevance follows the reference exactly: the *target part's own*
+    pair distances to every source, ``exp(-d^2 / (2 sigma^2))`` with
+    sigma=0.001 (``dataset_utils.py:cal_retrieval_score:1165-1176``),
+    consuming ``data.pair_dist [T, P, S]`` (the pair archive from
+    ``data/pairs.py``).  ``ndcg_sigma`` (or cfg extra ``ndcg_sigma``)
+    overrides sigma for corpora whose distances live on a different scale.
     """
-    from ured_tpu.utils.metrics import dcd_relevance, ndcg_score
+    from ured_tpu.utils.metrics import dcd_relevance, ndcg_from_topk
+
+    if ndcg_sigma is None:
+        ndcg_sigma = float(cfg.extras.get("ndcg_sigma", 0.001))
 
     bs = batch_size or cfg.batch_size
     num = (data.points.shape[0] // bs) * bs
@@ -238,20 +259,17 @@ def evaluate(cfg: URedConfig, model: URED, variables, data,
                         if top1[b, pi] in near:
                             cl_correct += 1
 
-        sims = np.asarray(out["sims"])
+        sim_topk = np.asarray(out["sim_topk"])          # [B, P, Kr]
         mask = np.asarray(out["part_mask"])
-        # NDCG@40 vs a distance-derived relevance (synthetic corpus: source
-        # half-extent distances play the role of the DCD pickles)
-        for b in range(sims.shape[0]):
-            t = i + b
-            for pi in range(sims.shape[1]):
-                if mask[b, pi] <= 0:
-                    continue
-                best = data.label_table[t, pi]
-                if best < 0:
-                    continue
-                rel = dcd_relevance(data.dist_src[best], sigma=0.5)
-                ndcgs.append(ndcg_score(rel, sims[b, pi], k=40))
+        pair_dist = getattr(data, "pair_dist", None)
+        if pair_dist is not None:
+            for b in range(sim_topk.shape[0]):
+                t = i + b
+                for pi in range(sim_topk.shape[1]):
+                    if mask[b, pi] <= 0:
+                        continue
+                    rel = dcd_relevance(pair_dist[t, pi], sigma=ndcg_sigma)
+                    ndcgs.append(ndcg_from_topk(rel, sim_topk[b, pi], k=40))
 
     metrics = {
         "best_full_cd_loss": float(np.mean(np.concatenate(cds))),
@@ -298,6 +316,9 @@ def main(argv):
 
         state = restore_groups(cfg.re_model_path, state, groups=("re",))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # the synthetic corpus's pair distances are half-extent proxies on a
+    # ~0.1 scale; the reference sigma=0.001 is calibrated for real DCD rows
+    cfg.extras.setdefault("ndcg_sigma", 0.1)
     return evaluate(cfg, model, variables, data)
 
 

@@ -33,6 +33,25 @@ def ndcg_score(true_relevance: np.ndarray, scores: np.ndarray,
     return dcg_score(ranked, k) / idcg
 
 
+def ndcg_from_topk(true_relevance: np.ndarray, topk_idx: np.ndarray,
+                   k: int = 40) -> float:
+    """NDCG@k given only the model's top-k ranked item indices.
+
+    Equivalent to ``ndcg_score(true_relevance, scores, k)`` whenever
+    ``topk_idx`` lists the k highest-scoring items in descending score order
+    (ties inside the window are irrelevant beyond ordering) — this is what
+    lets the device eval step return a [B, P, k] index tensor instead of the
+    dense [B, P, S] similarity matrix.
+    """
+    true_relevance = np.asarray(true_relevance, dtype=np.float64)
+    ranked = true_relevance[np.asarray(topk_idx)[:k]]
+    ideal = -np.sort(-true_relevance)
+    idcg = dcg_score(ideal, k)
+    if idcg <= 0:
+        return 0.0
+    return dcg_score(ranked, k) / idcg
+
+
 def dcd_relevance(distances: np.ndarray, sigma: float = 0.001) -> np.ndarray:
     """exp(-d^2 / (2 sigma^2)) relevance from DCD distances (reference
     ``dataset_utils.py:1173-1175``)."""
