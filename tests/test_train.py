@@ -103,3 +103,65 @@ def test_train_on_partial_targets():
     cfg.extras["train_on_partial"] = True
     state, metrics = train(cfg, num_steps=2, log_every=100)
     assert np.isfinite(float(metrics["all_loss"]))
+
+
+def test_augment_default_recenters_and_bounds_rotation():
+    """Default hot-loop augmentation parity (reference
+    ``partnet_dataset.py:61-78``): batches come out recentered, and the
+    random rotation is rigid and bounded by the 3x(+-10 deg) composition."""
+    from ured_tpu.engine.train import make_augment_fn
+
+    cfg = _tiny_cfg()
+    assert cfg.random_rot  # reference config default
+    aug = make_augment_fn(cfg)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 64, 3)).astype(np.float32) + \
+        np.array([5.0, -3.0, 2.0], np.float32)  # far off-center
+    batch = {"x": jnp.asarray(x),
+             "labels": jnp.asarray(rng.integers(0, 4, (4, 64))),
+             "tgt_sem": jnp.asarray(rng.integers(0, 42, (4, 64)))}
+    out = aug(batch, jax.random.PRNGKey(1))
+    y = np.asarray(out["x"])
+
+    # recentered (the rotation preserves the zero centroid)
+    np.testing.assert_allclose(y.mean(axis=1), 0.0, atol=1e-4)
+    # rigid: per-point norms match the centered input's
+    xc = x - x.mean(axis=1, keepdims=True)
+    np.testing.assert_allclose(np.linalg.norm(y, axis=-1),
+                               np.linalg.norm(xc, axis=-1), rtol=1e-4)
+    # bounded: X->Y->Z of +-10 deg each composes to < 18 deg total
+    cos = np.sum(y * xc, axis=-1) / np.maximum(
+        np.linalg.norm(y, axis=-1) * np.linalg.norm(xc, axis=-1), 1e-12)
+    ang = np.degrees(np.arccos(np.clip(cos, -1, 1)))
+    assert ang.max() <= 18.0
+    # rotation actually happened (not the identity)
+    assert ang.max() > 0.1
+    # labels/semantics untouched on the full-target path
+    np.testing.assert_array_equal(np.asarray(out["labels"]),
+                                  np.asarray(batch["labels"]))
+
+
+def test_augment_no_rot_flag_and_partial_mode():
+    from ured_tpu.engine.train import make_augment_fn
+
+    cfg = _tiny_cfg()
+    cfg.random_rot = False
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 64, 3)).astype(np.float32) + 1.0
+    batch = {"x": jnp.asarray(x),
+             "labels": jnp.asarray(rng.integers(0, 4, (2, 64))),
+             "tgt_sem": jnp.asarray(rng.integers(0, 42, (2, 64)))}
+    out = make_augment_fn(cfg)(batch, jax.random.PRNGKey(0))
+    # no rotation: exactly the recentered input
+    np.testing.assert_allclose(
+        np.asarray(out["x"]), x - x.mean(axis=1, keepdims=True), atol=1e-5)
+
+    # partial setting: occlusion mixture halves the point count and the
+    # per-point annotations ride the same kept-index gather
+    cfg.extras["train_on_partial"] = True
+    out = make_augment_fn(cfg)(batch, jax.random.PRNGKey(0))
+    assert out["x"].shape == (2, 32, 3)
+    assert out["labels"].shape == (2, 32)
+    assert out["tgt_sem"].shape == (2, 32)
+    np.testing.assert_allclose(np.asarray(out["x"]).mean(axis=1), 0.0,
+                               atol=1e-4)

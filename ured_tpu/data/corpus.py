@@ -1,0 +1,219 @@
+"""Unified training/eval corpus: real PartNet-layout data or synthetic.
+
+This is the glue the reference spreads across ``engine/train.py:156-204``
+(dataset + ``load_sources`` + per-step ``get_labels``): load the combined
+target h5, load the source-part database, build **or load** the pair-distance
+archive (the pseudo-GT the reference precomputes with ``generate_pair.py``
+and re-reads from pickles every step, ``dataset_utils.py:1101-1143``), and
+materialize the label table once.  The result is a ``Corpus`` — the same
+duck type as ``data.synthetic.SyntheticData`` — that the train loop, the
+input pipeline, and ``engine.evaluate`` consume interchangeably.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+from ured_tpu.config import URedConfig
+from ured_tpu.data import pairs
+from ured_tpu.data.partnet import (
+    PartNetDataset,
+    SourceDB,
+    datasplits_path,
+    load_sources,
+    source_h5_dir,
+    targets_h5_path,
+)
+
+
+@dataclass
+class Corpus:
+    """Fixed-shape arrays for a whole split + its source database."""
+
+    # targets
+    points: np.ndarray        # [T, N, 3]
+    labels: np.ndarray        # [T, N] int part id
+    semantics: np.ndarray     # [T, N] int semantic class
+    model_ids: np.ndarray     # [T]
+    num_parts: np.ndarray     # [T]
+    part_sems: np.ndarray     # [T, P]
+    # source database (stacked)
+    src_points: np.ndarray    # [S, n, 3]
+    src_mats: np.ndarray      # [S, 3n, 6]
+    src_default: np.ndarray   # [S, 6]
+    src_sems: np.ndarray      # [S]
+    # pseudo-GT
+    label_table: np.ndarray   # [T, P] int, -1 absent/masked
+    dist_src: Optional[np.ndarray] = None   # [S, S]
+    pair_dist: Optional[np.ndarray] = None  # [T, P, S] (NDCG relevance rows)
+    # mesh payloads for the vis/export path
+    source_db: Optional[SourceDB] = None
+    extras: Dict = field(default_factory=dict)
+
+    def __len__(self) -> int:
+        return self.points.shape[0]
+
+    def make_batch(self, idx: np.ndarray,
+                   max_parts: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """Fixed-shape train batch (same contract as
+        ``synthetic.make_batch``): target tensors + the pseudo-labeled source
+        parts gathered from the stacked DB."""
+        idx = np.asarray(idx)
+        lt = self.label_table[idx]
+        safe = np.where(lt >= 0, lt, 0)
+        return {
+            "x": self.points[idx],
+            "labels": self.labels[idx],
+            "tgt_sem": self.semantics[idx],
+            "src_points": self.src_points[safe],
+            "src_sem": self.src_sems[safe].astype(np.int32),
+            "src_mat": self.src_mats[safe],
+            "src_valid": (lt >= 0).astype(np.float32),
+        }
+
+
+def part_semantics(labels: np.ndarray, semantics: np.ndarray,
+                   max_parts: int):
+    """Per-part semantic class + validity from per-point annotations.
+
+    labels [T, N], semantics [T, N] -> (part_sems [T, P] int32,
+    part_valid [T, P] float32, num_parts [T] int32).  Vectorized
+    (one-hot membership + first-point gather) — the reference derives this
+    per sample inside ``get_part`` / ``get_tgt_semantics``
+    (``engine/train.py:103-136``, ``dataset_utils.py:1088``).
+    """
+    t, n = labels.shape
+    onehot = labels[..., None] == np.arange(max_parts)      # [T, N, P]
+    part_valid = onehot.any(axis=1)                         # [T, P]
+    first = np.argmax(onehot, axis=1)                       # [T, P]
+    part_sems = np.take_along_axis(semantics, first, axis=1).astype(np.int32)
+    part_sems = np.where(part_valid, part_sems, 0)
+    num_parts = part_valid.sum(axis=1).astype(np.int32)
+    return part_sems, part_valid.astype(np.float32), num_parts
+
+
+def target_part_clouds(points: np.ndarray, labels: np.ndarray,
+                       max_parts: int, n_per_part: int,
+                       seed: int = 0) -> np.ndarray:
+    """Fixed-shape per-part clouds [T, P, n, 3] (sampled with replacement
+    from each part's points; absent parts stay zero).  Host-side, runs once
+    per corpus before the pair job."""
+    t = points.shape[0]
+    out = np.zeros((t, max_parts, n_per_part, 3), np.float32)
+    rng = np.random.default_rng(seed)
+    for ti in range(t):
+        lab = labels[ti]
+        for pi in range(max_parts):
+            mask = lab == pi
+            cnt = int(mask.sum())
+            if cnt == 0:
+                continue
+            pts = points[ti][mask]
+            if cnt >= n_per_part:
+                sel = rng.choice(cnt, n_per_part, replace=False)
+            else:
+                sel = rng.choice(cnt, n_per_part, replace=True)
+            out[ti, pi] = pts[sel]
+    return out
+
+
+def pair_archive_path(cfg: URedConfig, split: Optional[str] = None) -> str:
+    """Default location of the pair-distance npz (the reference keeps a
+    pickle per part under ``workspace/*/pickle``; we keep one archive per
+    split)."""
+    split = split or cfg.mode
+    return os.path.join(
+        cfg.base_dir, "pairs",
+        f"{cfg.category}_{cfg.num_source}_{split}_pairs.npz")
+
+
+def build_pair_archive(cfg: URedConfig, points: np.ndarray,
+                       labels: np.ndarray, src_points: np.ndarray,
+                       cache_path: Optional[str] = None,
+                       chunk_q: int = 16, chunk_s: int = 64
+                       ) -> Dict[str, np.ndarray]:
+    """Pair-distance archive {cd_m/dcd/cd_s [T, P, S], dist_src [S, S]}.
+
+    One tiled on-device DCD job (``data.pairs.pair_distance_matrix``)
+    replacing the reference's 48-process joblib + CUDA-per-pair stage 3
+    (``engine/generate_pair.py:55-135``).  Loaded from ``cache_path`` when
+    present; written there after computing.
+    """
+    if cache_path and os.path.exists(cache_path):
+        return pairs.load_pair_archive(cache_path)
+
+    p = cfg.MAX_NUM_PARTS
+    n = src_points.shape[1]
+    part_pts = target_part_clouds(points, labels, p, n, seed=cfg.seed)
+    t = part_pts.shape[0]
+    flat = part_pts.reshape(t * p, n, 3)
+    mats = pairs.pair_distance_matrix(flat, src_points,
+                                      chunk_q=chunk_q, chunk_s=chunk_s)
+    s = src_points.shape[0]
+    archive = {k: v.reshape(t, p, s) for k, v in mats.items()}
+    archive["dist_src"] = pairs.source_pair_matrix(src_points, chunk=chunk_s)
+    if cache_path:
+        os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+        pairs.save_pair_archive(cache_path, archive)
+    return archive
+
+
+def real_data_available(cfg: URedConfig) -> bool:
+    """True when the PartNet-layout tree the reference trains on is present
+    (combined target h5 + datasplit pickle + per-part source h5 dir)."""
+    return (os.path.exists(targets_h5_path(cfg))
+            and os.path.exists(datasplits_path(cfg))
+            and os.path.isdir(source_h5_dir(cfg)))
+
+
+def from_partnet(cfg: URedConfig, mesh: bool = False,
+                 pair_cache: Optional[str] = None) -> Corpus:
+    """Load the real-data corpus end-to-end: targets + sources + pair
+    archive (built on device if absent) + label table.
+
+    The flagship CLI path (reference ``engine/train.py:156-204``): config
+    points at data -> pairs/label-table built or loaded -> train.
+    """
+    dataset = PartNetDataset.from_h5(cfg)
+    source_db = load_sources(cfg, mesh=mesh)
+
+    part_sems, part_valid, num_parts = part_semantics(
+        dataset.labels, dataset.semantics, cfg.MAX_NUM_PARTS)
+
+    if pair_cache is None:
+        pair_cache = str(cfg.extras.get("pair_archive",
+                                        pair_archive_path(cfg)))
+    archive = build_pair_archive(cfg, dataset.points, dataset.labels,
+                                 source_db.points, cache_path=pair_cache)
+    dist_src = archive.get("dist_src")
+    if source_db.dist_src is not None:
+        dist_src = source_db.dist_src  # precomputed matrix wins (ref :13)
+
+    table = pairs.build_label_table(
+        archive["cd_m"], part_valid, part_sems, source_db.sem_ids,
+        threshold=cfg.filter_threshold, dist_src=dist_src, cl_k=cfg.cl_k)
+    dataset.attach_label_table(table)
+
+    return Corpus(
+        points=dataset.points, labels=dataset.labels,
+        semantics=dataset.semantics, model_ids=dataset.model_ids,
+        num_parts=num_parts, part_sems=part_sems,
+        src_points=source_db.points, src_mats=source_db.mats,
+        src_default=source_db.default_params, src_sems=source_db.sem_ids,
+        label_table=table, dist_src=dist_src,
+        pair_dist=archive["cd_m"], source_db=source_db)
+
+
+def from_synthetic(data) -> Corpus:
+    """Wrap a ``SyntheticData`` into the same container."""
+    return Corpus(
+        points=data.points, labels=data.labels, semantics=data.semantics,
+        model_ids=data.model_ids, num_parts=data.num_parts,
+        part_sems=data.part_sems, src_points=data.src_points,
+        src_mats=data.src_mats, src_default=data.src_default,
+        src_sems=data.src_sems, label_table=data.label_table,
+        dist_src=data.dist_src, pair_dist=data.pair_dist)

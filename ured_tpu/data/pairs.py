@@ -114,30 +114,42 @@ def build_label_table(cd_m: np.ndarray, part_valid: np.ndarray,
       [T, P] int64 source index, -1 for absent or masked parts.
     """
     t, p, s = cd_m.shape
+    k = min(topk, s)
+
+    # --- vectorized selection over all (target, part) rows at once ---
+    # top-k by distance (argpartition + sort of the k candidates only):
+    # O(T*P*S) instead of the per-row argsort's O(T*P*S log S) python loop
+    if k < s:
+        cand = np.argpartition(cd_m, kth=k - 1, axis=-1)[..., :k]
+    else:
+        cand = np.broadcast_to(np.arange(s), cd_m.shape).copy()
+    cand_d = np.take_along_axis(cd_m, cand, axis=-1)
+    order = np.argsort(cand_d, axis=-1, kind="stable")
+    topk_idx = np.take_along_axis(cand, order, axis=-1)    # [T, P, k] sorted
+    topk_d = np.take_along_axis(cand_d, order, axis=-1)
+
+    close = topk_d < threshold                              # [T, P, k]
+    sem_ok = np.asarray(source_sems)[topk_idx] == \
+        np.asarray(part_sems)[..., None]
+    prio = close & sem_ok
+    # pick priority: first close-with-matching-semantic, else first close,
+    # else the nearest source (reference get_labels:1118-1137)
+    first_prio = np.argmax(prio, axis=-1)
+    first_close = np.argmax(close, axis=-1)
+    sel_pos = np.where(prio.any(-1), first_prio,
+                       np.where(close.any(-1), first_close, 0))
+    pick = np.take_along_axis(topk_idx, sel_pos[..., None], -1)[..., 0]
+
+    # --- order-dependent mutual-similarity masking stays per target
+    # (earlier parts win; <= P elements each, reference mask_label:1077) ---
     table = np.full((t, p), -1, np.int64)
     for ti in range(t):
-        chosen = []
-        slots = []
-        for pi in range(p):
-            if part_valid[ti, pi] <= 0:
-                continue
-            order = np.argsort(cd_m[ti, pi])[:topk]
-            dists = cd_m[ti, pi][order]
-            close = [int(order[i]) for i in range(len(order))
-                     if dists[i] < threshold]
-            same_sem = [lab for lab in close
-                        if source_sems[lab] == part_sems[ti, pi]]
-            if same_sem:
-                pick = same_sem[0]
-            elif close:
-                pick = close[0]
-            else:
-                pick = int(order[0])
-            chosen.append(pick)
-            slots.append(pi)
-        masked = _mutual_similarity_mask(np.asarray(chosen), dist_src, cl_k)
-        for k, pi in enumerate(slots):
-            table[ti, pi] = -1 if masked[k] else chosen[k]
+        slots = np.where(part_valid[ti] > 0)[0]
+        if slots.size == 0:
+            continue
+        chosen = pick[ti, slots]
+        masked = _mutual_similarity_mask(chosen, dist_src, cl_k)
+        table[ti, slots] = np.where(masked, -1, chosen)
     return table
 
 

@@ -16,18 +16,26 @@ import numpy as np
 
 
 class _Source:
-    """Random-access record source over a dataset + source DB."""
+    """Random-access record source over a dataset (optionally + source DB).
 
-    def __init__(self, dataset, source_db, max_parts: int):
+    ``dataset`` is anything with ``__len__`` and ``make_batch(idx[, db])`` —
+    a ``PartNetDataset`` (pass its ``SourceDB``) or a ``data.corpus.Corpus``
+    / ``SyntheticData``-shaped object that gathers sources itself.
+    """
+
+    def __init__(self, dataset, source_db=None):
         self.dataset = dataset
         self.source_db = source_db
-        self.max_parts = max_parts
 
     def __len__(self) -> int:
         return len(self.dataset)
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
-        batch = self.dataset.make_batch(np.asarray([i]), self.source_db)
+        idx = np.asarray([i])
+        if self.source_db is not None:
+            batch = self.dataset.make_batch(idx, self.source_db)
+        else:
+            batch = self.dataset.make_batch(idx)
         return {k: v[0] for k, v in batch.items()}
 
 
@@ -41,7 +49,7 @@ def make_input_pipeline(dataset, source_db, batch_size: int,
     Grain path: MapDataset source -> shuffle -> batch -> (optional workers).
     Fallback: in-process numpy batching with identical semantics.
     """
-    src = _Source(dataset, source_db, dataset.cfg.MAX_NUM_PARTS)
+    src = _Source(dataset, source_db)
     try:
         import grain.python as grain
 

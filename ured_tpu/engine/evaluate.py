@@ -286,25 +286,21 @@ def evaluate(cfg: URedConfig, model: URED, variables, data,
 def main(argv):
     """``python -m ured_tpu.engine.evaluate [config.json]`` — the role of
     reference ``engine/test.py``: load checkpoint (if configured), encode the
-    source DB, print the metric trio.  Without PartNet data it evaluates on
-    the synthetic corpus."""
+    source DB, print the metric trio.  Evaluates the PartNet-layout tree the
+    config points at when present (same resolution as the train CLI),
+    falling back to the synthetic corpus."""
     import jax
 
-    from ured_tpu.data import synthetic
-    from ured_tpu.engine.train import init_state, make_optimizer
+    from ured_tpu.engine.train import init_state, make_optimizer, \
+        resolve_corpus
 
     cfg = URedConfig.from_json(argv[1]) if len(argv) > 1 else URedConfig(
         batch_size=8)
-    data = synthetic.generate(
-        num_targets=int(cfg.extras.get("synthetic_targets", 32)),
-        num_sources=int(cfg.extras.get("synthetic_sources", 64)),
-        n_points=cfg.num_target_points,
-        points_per_part=cfg.num_part_points,
-        max_parts=cfg.MAX_NUM_PARTS, seed=cfg.seed)
+    cfg.extras.setdefault("synthetic_targets", 32)
+    data = resolve_corpus(cfg)
     model = URED(cfg)
-    init_batch = {k: jnp.asarray(v) for k, v in synthetic.make_batch(
-        data, np.arange(min(cfg.batch_size, data.points.shape[0])),
-        cfg.MAX_NUM_PARTS).items()}
+    init_batch = {k: jnp.asarray(v) for k, v in data.make_batch(
+        np.arange(min(cfg.batch_size, len(data)))).items()}
     tx, _ = make_optimizer(cfg, 1)
     state = init_state(cfg, model, tx, init_batch, seed=cfg.seed)
     if cfg.init_dm:
@@ -316,9 +312,10 @@ def main(argv):
 
         state = restore_groups(cfg.re_model_path, state, groups=("re",))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    # the synthetic corpus's pair distances are half-extent proxies on a
-    # ~0.1 scale; the reference sigma=0.001 is calibrated for real DCD rows
-    cfg.extras.setdefault("ndcg_sigma", 0.1)
+    if data.extras.get("origin") == "synthetic":
+        # the synthetic corpus's pair distances are half-extent proxies on a
+        # ~0.1 scale; the reference sigma=0.001 is calibrated for DCD rows
+        cfg.extras.setdefault("ndcg_sigma", 0.1)
     return evaluate(cfg, model, variables, data)
 
 

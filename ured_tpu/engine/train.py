@@ -211,40 +211,89 @@ def init_state(cfg: URedConfig, model: URED, tx, sample_batch,
                       batch_stats=batch_stats, opt_state=tx.init(params))
 
 
+def make_augment_fn(cfg: URedConfig):
+    """Jitted per-batch on-device augmentation mirroring the reference
+    dataset's ``__getitem__`` distribution (``partnet_dataset.py:50-86``):
+    [occlusion mixture when training the partial setting ->] recenter ->
+    per-sample ±10° random rotation (gated by ``cfg.random_rot``, true in
+    every live reference config)."""
+    from ured_tpu.data.occlusion import occlude, random_rotate, recenter
+
+    train_on_partial = bool(cfg.extras.get("train_on_partial", False))
+    occ_mode = str(cfg.extras.get("occlusion_mode", "mixed"))
+
+    @jax.jit
+    def augment(batch: Dict[str, Array], key: Array) -> Dict[str, Array]:
+        k_occ, k_rot = jax.random.split(key)
+        out = dict(batch)
+        x = batch["x"]
+        if train_on_partial:
+            x, kept = occlude(x, batch["tgt_sem"], k_occ, mode=occ_mode)
+            out["labels"] = jnp.take_along_axis(batch["labels"], kept, 1)
+            out["tgt_sem"] = jnp.take_along_axis(batch["tgt_sem"], kept, 1)
+        x, _ = recenter(x)
+        if cfg.random_rot:
+            x = random_rotate(x, k_rot, max_deg=10.0)
+        out["x"] = x
+        return out
+
+    return augment
+
+
+def resolve_corpus(cfg: URedConfig, data=None):
+    """Data resolution for the CLI path: explicit object > PartNet-layout
+    tree pointed at by the config (targets h5 + datasplits + source h5s,
+    with the pair archive built on device if missing) > hermetic synthetic
+    corpus (fallback)."""
+    from ured_tpu.data import corpus, synthetic
+
+    if data is not None:
+        if not hasattr(data, "make_batch"):  # SyntheticData duck type
+            data = corpus.from_synthetic(data)
+        return data
+    if corpus.real_data_available(cfg):
+        print(f"loading PartNet corpus from {cfg.base_dir}")
+        c = corpus.from_partnet(cfg)
+        c.extras["origin"] = "partnet"
+        return c
+    print("no PartNet tree found; training on the synthetic corpus")
+    c = corpus.from_synthetic(synthetic.generate(
+        num_targets=int(cfg.extras.get("synthetic_targets", 64)),
+        num_sources=int(cfg.extras.get("synthetic_sources", 64)),
+        n_points=cfg.num_target_points,
+        points_per_part=cfg.num_part_points,
+        max_parts=cfg.MAX_NUM_PARTS, seed=cfg.seed))
+    c.extras["origin"] = "synthetic"
+    return c
+
+
 def train(cfg: URedConfig, num_steps: Optional[int] = None,
           data=None, log_every: int = 10, writer=None,
           checkpoint_dir: Optional[str] = None):
-    """Training loop on the synthetic corpus (hermetic path).
+    """Training loop: PartNet-layout data when the config points at it,
+    synthetic corpus otherwise (see ``resolve_corpus``).  Batches stream
+    through the Grain input pipeline (``data.pipeline``); occlusion /
+    recenter / rotation augmentation runs jitted on device.
 
-    For PartNet data, build batches via ``ured_tpu.data.partnet`` instead and
-    reuse the same step.  Returns the final state and last metrics.
+    Returns the final state and last metrics.
 
     Checkpoints: the full TrainState (params + batch stats + optimizer — the
     reference dropped optimizer state, ``train.py:349-358``) every
     ``cfg.save_epoch`` epochs; ``cfg.init_dm`` / ``cfg.init_re`` restore the
     dm / re module groups from ``cfg.dm_model_path`` / ``cfg.re_model_path``.
     """
-    from ured_tpu.data import synthetic
+    from ured_tpu.data.pipeline import make_input_pipeline
 
-    if data is None:
-        data = synthetic.generate(
-            num_targets=int(cfg.extras.get("synthetic_targets", 64)),
-            num_sources=int(cfg.extras.get("synthetic_sources", 64)),
-            n_points=cfg.num_target_points,
-            points_per_part=cfg.num_part_points,
-            max_parts=cfg.MAX_NUM_PARTS, seed=cfg.seed)
+    data = resolve_corpus(cfg, data)
 
-    num_targets = data.points.shape[0]
+    num_targets = len(data)
     bs = min(cfg.batch_size, num_targets)
     steps_per_epoch = max(1, num_targets // bs)
     tx, schedule = make_optimizer(cfg, steps_per_epoch)
     model = URED(cfg)
 
-    rng = np.random.default_rng(cfg.seed)
-    idx0 = rng.permutation(num_targets)[:bs]
     sample = {k: jnp.asarray(v)
-              for k, v in synthetic.make_batch(data, idx0,
-                                               cfg.MAX_NUM_PARTS).items()}
+              for k, v in data.make_batch(np.arange(bs)).items()}
     state = init_state(cfg, model, tx, sample, seed=cfg.seed)
 
     if cfg.init_dm or cfg.init_re:
@@ -256,40 +305,25 @@ def train(cfg: URedConfig, num_steps: Optional[int] = None,
             state = restore_groups(cfg.re_model_path, state, groups=("re",))
 
     step_fn = jax.jit(make_train_step(cfg, model, tx))
+    augment = make_augment_fn(cfg)
 
     total_steps = num_steps if num_steps is not None \
         else cfg.epochs * steps_per_epoch
-    # optional partial-target training: synthesize occlusions on device
-    # before the step (the paper's partial setting; the reference's live
-    # loop trains on full targets and only returns the occluded copy,
-    # train.py:190 — set extras['train_on_partial'] to enable)
-    train_on_partial = bool(cfg.extras.get("train_on_partial", False))
-    if train_on_partial:
-        from ured_tpu.data.occlusion import occlude, recenter
-
-        @jax.jit
-        def make_partial(batch, key):
-            occ, kept = occlude(batch["x"], batch["tgt_sem"], key,
-                                mode="mixed")
-            occ, _ = recenter(occ)
-            out = dict(batch)
-            out["x"] = occ
-            out["labels"] = jnp.take_along_axis(batch["labels"], kept, 1)
-            out["tgt_sem"] = jnp.take_along_axis(batch["tgt_sem"], kept, 1)
-            return out
+    epochs_needed = -(-total_steps // steps_per_epoch)  # ceil
+    batches = make_input_pipeline(
+        data, None, bs, seed=cfg.seed, shuffle=True,
+        num_epochs=epochs_needed,
+        worker_count=int(cfg.extras.get("pipeline_workers", 0)))
 
     key = jax.random.PRNGKey(cfg.seed)
     metrics = {}
     t0 = time.perf_counter()
-    for step in range(total_steps):
+    for step, batch in enumerate(batches):
+        if step >= total_steps:
+            break
         epoch = step // steps_per_epoch
-        idx = rng.permutation(num_targets)[:bs]
-        batch = {k: jnp.asarray(v)
-                 for k, v in synthetic.make_batch(data, idx,
-                                                  cfg.MAX_NUM_PARTS).items()}
-        if train_on_partial:
-            key, sub = jax.random.split(key)
-            batch = make_partial(batch, sub)
+        key, sub = jax.random.split(key)
+        batch = augment(batch, sub)
         state, metrics = step_fn(state, batch, jnp.asarray(epoch))
         if writer is not None:
             writer.write(step, {k: float(v) for k, v in metrics.items()})
