@@ -24,8 +24,9 @@ from ured_tpu.data.parametric import (
 
 
 def test_alpha_schedule_monotone():
-    vals = [alpha_schedule(e, 100) for e in (0, 30, 90)]
-    assert vals == [50.0, 200.0, 1000.0]
+    # the varying loss constant ramps 0.01 -> 1.0 (ref train.py:86-115)
+    vals = [alpha_schedule(e, 100) for e in (0, 15, 40, 90)]
+    assert vals == [0.01, 0.1, 0.5, 1.0]
 
 
 def test_lr_schedule_warmup_then_decay():

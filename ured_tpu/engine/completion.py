@@ -37,14 +37,18 @@ class CompletionState:
 
 
 def alpha_schedule(epoch: int, total_epochs: int) -> float:
-    """The DCD trainer's varying loss constant: alpha ramps with training
-    progress (reference ``train.py:86-115`` uses piecewise growth)."""
+    """The DCD trainer's *varying loss constant*: the fine-output loss
+    weight ramps 0.01 -> 0.1 -> 0.5 -> 1.0 over training (reference
+    ``train.py:86-115`` with the stock varying_constant config; it
+    multiplies loss4 inside the model, ``vrcnet.py:527``)."""
     frac = epoch / max(total_epochs, 1)
-    if frac < 0.2:
-        return 50.0
-    if frac < 0.5:
-        return 200.0
-    return 1000.0
+    if frac < 0.1:
+        return 0.01
+    if frac < 0.3:
+        return 0.1
+    if frac < 0.6:
+        return 0.5
+    return 1.0
 
 
 def make_lr_schedule(base_lr: float, steps_per_epoch: int,
@@ -60,30 +64,48 @@ def make_lr_schedule(base_lr: float, steps_per_epoch: int,
                                 [warmup_epochs * steps_per_epoch])
 
 
-def completion_loss(coarse, fine, gt, alpha: float, kl=0.0,
-                    kl_weight: float = 0.01):
-    """DCD on the fine output + DCD on coarse + optional KL (the dual-path
-    probabilistic term; reference net losses return (loss2, net_loss),
-    ``train.py:146``)."""
-    loss_fine, _, _ = calc_dcd(fine, gt, alpha=alpha)
-    loss_coarse, _, _ = calc_dcd(coarse, gt, alpha=alpha)
-    return jnp.mean(loss_fine) + 0.5 * jnp.mean(loss_coarse) \
-        + kl_weight * kl
+def completion_loss(outs, gt, alpha: float, kl=0.0,
+                    kl_weight: float = 20.0, dcd_alpha: float = 200.0):
+    """The VRCNet multi-stage DCD loss (reference ``vrcnet.py:505-528``):
+    ``10 * L(coarse_raw) + 0.5 * L(coarse_high) + L(coarse) + alpha *
+    L(fine) + 20 * (dl_rec + dl_g)``; missing stages (PCN) are skipped.
+    A doubled-batch output (VRCNet's dual latent paths) scores against the
+    doubled gt (ref ``:448``: ``gt = cat([gt, gt])``)."""
+    fine = outs["fine"]
+    if fine.shape[0] == 2 * gt.shape[0]:
+        gt = jnp.concatenate([gt, gt], axis=0)
+
+    def dcd(pred, a):
+        l, _, _ = calc_dcd(pred, gt, alpha=a)
+        return jnp.mean(l)
+
+    total = alpha * dcd(fine, dcd_alpha)
+    if "coarse_raw" in outs:
+        total += 10.0 * dcd(outs["coarse_raw"], 2.0 * dcd_alpha)
+    if "coarse_high" in outs:
+        total += 0.5 * dcd(outs["coarse_high"], dcd_alpha)
+    if "coarse" in outs:
+        total += dcd(outs["coarse"], dcd_alpha)
+    return total + kl_weight * kl
 
 
 def apply_completion(model, params, partial, gt=None, train: bool = True,
                      rng=None):
-    """Model-agnostic forward: returns (coarse, fine, kl).  VRCNet consumes
-    the gt path + a sampling rng during training; PCN-style models ignore
-    both."""
+    """Model-agnostic forward: returns (outs dict, kl).  VRCNet consumes
+    the gt path + sampling/dropout rngs during training; PCN-style models
+    ignore both and expose {coarse, fine}."""
     from ured_tpu.models.completion import VRCNet
 
     if isinstance(model, VRCNet):
-        rngs = {"sample": rng} if (train and rng is not None) else None
+        if train and rng is not None:
+            k1, k2 = jax.random.split(rng)
+            rngs = {"sample": k1, "dropout": k2}
+        else:
+            rngs = None
         return model.apply({"params": params}, partial,
                            gt if train else None, train=train, rngs=rngs)
     coarse, fine = model.apply({"params": params}, partial, train=train)
-    return coarse, fine, jnp.zeros((), jnp.float32)
+    return {"coarse": coarse, "fine": fine}, jnp.zeros((), jnp.float32)
 
 
 def make_completion_step(model, tx, base_rng=None):
@@ -92,9 +114,9 @@ def make_completion_step(model, tx, base_rng=None):
     base = base_rng if base_rng is not None else jrandom.PRNGKey(0)
 
     def loss_fn(params, partial, gt, alpha, rng):
-        coarse, fine, kl = apply_completion(model, params, partial, gt,
-                                            train=True, rng=rng)
-        return completion_loss(coarse, fine, gt, alpha, kl)
+        outs, kl = apply_completion(model, params, partial, gt,
+                                    train=True, rng=rng)
+        return completion_loss(outs, gt, alpha, kl)
 
     def step(state: CompletionState, partial, gt, alpha):
         rng = jrandom.fold_in(base, state.step)
@@ -111,7 +133,8 @@ def make_eval_metrics(model):
     """dcd / cd_p / cd_t / f1 meters (reference ``val:173-240``)."""
 
     def metrics_fn(params, partial, gt):
-        _, fine, _ = apply_completion(model, params, partial, train=False)
+        outs, _ = apply_completion(model, params, partial, train=False)
+        fine = outs["fine"]
         dcd, _, _ = calc_dcd(fine, gt)
         cd_p, cd_t, f1 = calc_cd(fine, gt, calc_f1=True)
         return {"dcd": dcd.mean(), "cd_p": cd_p.mean(),
@@ -135,7 +158,7 @@ def _synthetic_pairs(num: int, n_gt: int, seed: int):
     return np.asarray(partial), np.asarray(gt)
 
 
-def make_gan_steps(model, disc, tx_g, tx_d, alpha: float = 1000.0,
+def make_gan_steps(model, disc, tx_g, tx_d, alpha: float = 1.0,
                    adv_weight: float = 0.1):
     """Adversarial completion training (the vrcnet_plus discriminator path,
     reference ``utils/train_utils.py:40-58`` GAN steps): hinge losses, one
@@ -143,8 +166,8 @@ def make_gan_steps(model, disc, tx_g, tx_d, alpha: float = 1000.0,
 
     def d_step(d_state: CompletionState, g_params, partial, gt):
         def loss_fn(d_params):
-            _, fake, _ = apply_completion(model, g_params, partial,
-                                          train=False)
+            fake = apply_completion(model, g_params, partial,
+                                    train=False)[0]["fine"]
             real_score = disc.apply({"params": d_params}, gt, train=True)
             fake_score = disc.apply({"params": d_params},
                                     jax.lax.stop_gradient(fake), train=True)
@@ -160,11 +183,11 @@ def make_gan_steps(model, disc, tx_g, tx_d, alpha: float = 1000.0,
 
     def g_step(g_state: CompletionState, d_params, partial, gt):
         def loss_fn(g_params):
-            coarse, fine, kl = apply_completion(model, g_params, partial,
-                                                gt, train=True,
-                                                rng=jax.random.PRNGKey(0))
-            rec = completion_loss(coarse, fine, gt, alpha, kl)
-            adv = -jnp.mean(disc.apply({"params": d_params}, fine,
+            outs, kl = apply_completion(model, g_params, partial,
+                                        gt, train=True,
+                                        rng=jax.random.PRNGKey(0))
+            rec = completion_loss(outs, gt, alpha, kl)
+            adv = -jnp.mean(disc.apply({"params": d_params}, outs["fine"],
                                        train=False))
             return rec + adv_weight * adv
 
@@ -188,8 +211,14 @@ def train_completion(model_name: str = "pcn", epochs: int = 2,
     if model_name == "pcn":
         model = PCN(num_coarse=max(n_points // 4, 16), grid_size=2)
     elif model_name == "vrcnet":
-        model = VRCNet(num_coarse=max(n_points // 8, 16), up_factor=4,
-                       latent_dim=256)
+        # MSAP_SKN decoder scaled to the corpus: coarse_raw + partial(n/2)
+        # feed the 4-level U-Net; FPS to n/2, guided top-k to n/4, x4 fold
+        model = VRCNet(num_fine=n_points, num_coarse=max(n_points // 4, 8),
+                       num_fps=max(n_points // 2, 16),
+                       num_coarse_raw=max(n_points // 2, 16),
+                       latent_dim=256, size_z=32, init_channel=16,
+                       bottleneck=256, knn_list=(4, 8), pk=4,
+                       layers=(1, 1, 1, 1))
     else:
         raise ValueError(f"unknown completion model '{model_name}'")
 
@@ -205,7 +234,8 @@ def train_completion(model_name: str = "pcn", epochs: int = 2,
     if model_name == "vrcnet":
         variables = model.init(
             {"params": jax.random.PRNGKey(seed),
-             "sample": jax.random.PRNGKey(seed + 1)},
+             "sample": jax.random.PRNGKey(seed + 1),
+             "dropout": jax.random.PRNGKey(seed + 2)},
             jnp.asarray(partial[:batch_size]),
             jnp.asarray(gt[:batch_size]), train=True)
     else:
