@@ -1,0 +1,87 @@
+"""Two-process multi-host execution test.
+
+Converts ``parallel/multihost.py`` from code to capability: two real
+processes rendezvous through ``jax.distributed.initialize`` on CPU (the
+DCN-init path, replacing the reference's NCCL/Slurm ``init_dist``,
+``Density_aware_Chamfer_Distance/utils/env.py:13-50``) and run a psum
+across the global device set.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+
+_WORKER = r"""
+import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # axon sitecustomize workaround
+
+from ured_tpu.parallel.multihost import init_distributed, is_primary, \
+    seed_everything
+
+addr, pid = sys.argv[1], int(sys.argv[2])
+info = init_distributed(coordinator_address=addr, num_processes=2,
+                        process_id=pid)
+assert info["process_count"] == 2, info
+assert info["process_index"] == pid, info
+assert len(info["global_devices"]) == 2 * len(info["local_devices"]), info
+assert is_primary() == (pid == 0)
+seed = seed_everything(7)
+assert seed == 7 + pid
+
+import jax.numpy as jnp
+
+n_local = jax.local_device_count()
+out = jax.pmap(lambda x: jax.lax.psum(x, "i"), axis_name="i")(
+    jnp.ones((n_local,), jnp.float32) * (pid + 1))
+total = float(out[0])
+# psum over both processes' devices: 1*1 + 1*2 = 3
+assert total == 3.0, total
+print(f"WORKER_OK {pid} psum={total}")
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_psum():
+    addr = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # breaks the axon backend registration
+    # the conftest's XLA flags would multiply devices; keep 1 per process
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, addr, str(pid)],
+            cwd="/root/repo", env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out}"
+        assert f"WORKER_OK {pid} psum=3.0" in out, out
+
+
+def test_single_host_noop():
+    """init_distributed without multi-process args is a no-op that still
+    reports topology."""
+    from ured_tpu.parallel.multihost import init_distributed
+
+    info = init_distributed()
+    assert info["process_count"] >= 1
+    assert len(info["local_devices"]) >= 1
