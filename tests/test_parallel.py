@@ -85,6 +85,53 @@ def test_sharded_step_dp8_close_to_single_device():
     assert abs(a - b) / abs(a) < 0.35, (a, b)
 
 
+def test_sharded_step_dp8_syncbn_exact_parity():
+    """With SyncBN (batch statistics pmean'd over dp) the 8-way sharded
+    step reproduces the single-device numerics, not just approximates them
+    — the multi-chip training contract."""
+    import dataclasses
+
+    import optax
+
+    cfg = _tiny_cfg()
+    data, batch = _data_and_batch(cfg)
+    # SGD so parameter deltas are exactly the (lr-scaled) gradients — Adam's
+    # rsqrt normalization amplifies float reduction-order noise on
+    # near-zero-grad leaves into sign flips, which is optimizer behavior,
+    # not a parallelism defect
+    tx = optax.sgd(1e-2)
+    model = URED(cfg)
+    state = init_state(cfg, model, tx, batch)
+
+    single = jax.jit(make_train_step(cfg, model, tx))
+    s1, m1 = single(state, batch, jnp.asarray(0))
+
+    sync_cfg = dataclasses.replace(cfg, extras={"sync_bn": True})
+    sync_model = URED(sync_cfg)  # same param tree, pmean'd batch stats
+    mesh = make_mesh(dp=8, db=1)
+    step, place = make_sharded_train_step(sync_cfg, sync_model, tx, mesh,
+                                          explicit=True)
+    st, bt, ep = place(state, batch, 0)
+    s2, m2 = step(st, bt, ep)
+
+    # every loss component matches the global computation
+    for k in m1:
+        np.testing.assert_allclose(float(m2[k]), float(m1[k]), rtol=2e-4,
+                                   atol=1e-6, err_msg=k)
+    # parameters (== init - lr * grad) match within the f32 reduction-order
+    # noise floor: permuting the batch order on a SINGLE device already
+    # perturbs gradients by ~1.3e-2 (1.3e-4 in params at lr=1e-2), and the
+    # sharded-vs-single diffs measured here are the same magnitude
+    # (max ~1e-4).  Without SyncBN the LOSS gap alone was 35%.
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        diff = np.abs(np.asarray(a) - np.asarray(b))
+        assert diff.max() < 5e-4, diff.max()
+    # running batch stats also agree (pmean'd on both paths)
+    for a, b in zip(jax.tree.leaves(s1.batch_stats),
+                    jax.tree.leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
 def test_sharded_step_2d_mesh():
     cfg = _tiny_cfg()
     _, batch = _data_and_batch(cfg)

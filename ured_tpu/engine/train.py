@@ -127,7 +127,8 @@ def compute_losses(cfg: URedConfig, batch: Dict[str, Array],
     total = jnp.zeros((), jnp.float32)
 
     if cfg.use_param_loss > 0:
-        l = regularization_param(out["params"], part_mask)
+        l = regularization_param(out["params"], part_mask,
+                                 axis_name=axis_name)
         losses["param_loss"] = l
         total += cfg.use_param_loss * l
 
@@ -167,7 +168,8 @@ def compute_losses(cfg: URedConfig, batch: Dict[str, Array],
     if cfg.use_recon > 0:
         l_full = pc_consistency(out["recon_full"], x)
         l_src = pc_consistency_weighted(
-            out["recon_src"], batch["src_points"], part_mask)
+            out["recon_src"], batch["src_points"], part_mask,
+            axis_name=axis_name)
         losses["recon_loss_full"] = l_full
         losses["recon_loss_src"] = l_src
         total += cfg.use_recon * (l_full + l_src)
@@ -193,6 +195,7 @@ def make_train_step(cfg: URedConfig, model: URED, tx,
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             new_bs = jax.lax.pmean(new_bs, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(step=state.step + 1, params=params,

@@ -117,7 +117,22 @@ def contrastive_loss(tgt_part_f: Array, src_f: Array, valid: Array,
     logits = logit_scale * (t @ s_all.T)                  # [b*p, W*b*p]
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-    return jnp.sum(nll * v) / jnp.maximum(jnp.sum(v), 1.0)
+    return jnp.sum(nll * v) / jnp.maximum(
+        _mean_denominator(jnp.sum(v), axis_name), 1.0)
+
+
+def _mean_denominator(den: Array, axis_name: Optional[str]) -> Array:
+    """Cross-shard mean of a masked-loss denominator.
+
+    Ratio losses (sum(x*mask)/sum(mask)) diverge from single-device numerics
+    under data parallelism when shards hold different valid counts (mean of
+    ratios != ratio of sums).  Dividing the LOCAL numerator by the PMEAN'd
+    denominator makes both the pmean'd loss value and the pmean'd gradient
+    exactly equal to the global computation.
+    """
+    if axis_name is not None:
+        den = jax.lax.pmean(den, axis_name)
+    return den
 
 
 def residual_retrieval_loss(x: Array, deformed_flat: Array,
@@ -155,20 +170,24 @@ def pc_consistency(pc1: Array, pc2: Array) -> Array:
     return jnp.mean(jnp.sum(res * res, axis=-1))
 
 
-def pc_consistency_weighted(pc1: Array, pc2: Array, mask: Array) -> Array:
+def pc_consistency_weighted(pc1: Array, pc2: Array, mask: Array,
+                            axis_name: Optional[str] = None) -> Array:
     """Per-part masked reconstruction MSE (reference
     ``basic_consistency_loss.py:10-22``).  pc1/pc2: [B, P, n, 3], mask [B, P].
     """
     res = pc1 - pc2
     per_part = jnp.mean(jnp.sum(res * res, axis=-1), axis=-1)  # [B, P]
-    return jnp.sum(per_part * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(per_part * mask) / jnp.maximum(
+        _mean_denominator(jnp.sum(mask), axis_name), 1.0)
 
 
-def regularization_param(params: Array, part_mask: Array) -> Array:
+def regularization_param(params: Array, part_mask: Array,
+                         axis_name: Optional[str] = None) -> Array:
     """Mean L2 norm of the predicted 6-vectors over valid parts (reference
     ``regularization_loss.py:49-52``)."""
     norms = jnp.linalg.norm(params, axis=-1)              # [B, P]
-    return jnp.sum(norms * part_mask) / jnp.maximum(jnp.sum(part_mask), 1.0)
+    return jnp.sum(norms * part_mask) / jnp.maximum(
+        _mean_denominator(jnp.sum(part_mask), axis_name), 1.0)
 
 
 def regularization_residuals(residuals: Array) -> Array:

@@ -63,6 +63,7 @@ class DeformNetMatching(nn.Module):
     max_num_parts: int = 16
     matching: bool = False
     attention: str = "softmax"
+    axis_name: Any = None  # SyncBN mesh axis
 
     @nn.compact
     def __call__(self, target_f, src_part_f, per_point_f=None,
@@ -80,7 +81,8 @@ class DeformNetMatching(nn.Module):
 
         gat = GraphAttentionNet(self.num_stages, self.graph_dim,
                                 self.num_heads, self.attention,
-                                self.use_offset, name="graph_attention_net")
+                                self.use_offset, axis_name=self.axis_name,
+                                name="graph_attention_net")
         global_a, part_a = gat(global_node, src_part_f, train=train)
 
         p = part_a.shape[1]
@@ -114,12 +116,13 @@ class ResidualNet(nn.Module):
     input_dim: int
     output_dim: int = 3
     dtype: Any = None
+    axis_name: Any = None  # SyncBN mesh axis
 
     @nn.compact
     def __call__(self, concat_feature, train: bool = True):
         """concat_feature: [B, N, input_dim] -> [B, N, output_dim]."""
         assert concat_feature.shape[-1] == self.input_dim
         out = PointMLP([256, 256, 32, self.output_dim], norm="batch",
-                       dtype=self.dtype,
+                       dtype=self.dtype, axis_name=self.axis_name,
                        name="residual_net")(concat_feature, train=train)
         return out.astype(jnp.float32)

@@ -59,6 +59,7 @@ class TargetEncoder(nn.Module):
     is_src: bool = False
     sem_size: int = 0  # 0 disables semantic fusion
     dtype: Any = None  # matmul compute dtype (bf16 for MXU full rate)
+    axis_name: Any = None  # SyncBN mesh axis (pmean'd batch statistics)
 
     @nn.compact
     def __call__(self, x, sem_f=None, train: bool = True):
@@ -75,16 +76,19 @@ class TargetEncoder(nn.Module):
 
         h = x
         for f in (64, 64):       # mlp1
-            h = ConvBNRelu(f, dtype=self.dtype)(h, train=train)
+            h = ConvBNRelu(f, dtype=self.dtype,
+                           axis_name=self.axis_name)(h, train=train)
         for f in (64, 128, 1024):  # mlp2
-            h = ConvBNRelu(f, dtype=self.dtype)(h, train=train)
+            h = ConvBNRelu(f, dtype=self.dtype,
+                           axis_name=self.axis_name)(h, train=train)
 
         if self.sem_size and sem_f is not None:
             h = jnp.concatenate([h, sem_f.astype(h.dtype)], axis=-1)
-            h = ConvBNRelu(1024, name="fuse_sem",
-                           dtype=self.dtype)(h, train=train)
+            h = ConvBNRelu(1024, name="fuse_sem", dtype=self.dtype,
+                           axis_name=self.axis_name)(h, train=train)
 
         per_point = ConvBNRelu(self.embedding_size, dtype=self.dtype,
+                               axis_name=self.axis_name,
                                name="per_point_0")(h, train=train)
         per_point = nn.Dense(self.embedding_size, dtype=self.dtype,
                              name="per_point_1")(per_point)

@@ -9,7 +9,7 @@ the trailing feature axis, matching torch BatchNorm1d on [B, C, N].
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -21,11 +21,14 @@ class PointMLP(nn.Module):
 
     ``dtype`` sets the matmul compute type (bf16 keeps the MXU at full
     rate); parameters and normalization statistics stay float32.
+    ``axis_name`` enables SyncBN: batch statistics are pmean'd over that
+    mesh axis, making multi-chip training numerics match single-chip.
     """
 
     features: Sequence[int]
     norm: str = "batch"
     dtype: Any = None
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -35,7 +38,8 @@ class PointMLP(nn.Module):
             if self.norm == "batch":
                 x = nn.BatchNorm(use_running_average=not train,
                                  momentum=0.9, epsilon=1e-5,
-                                 dtype=self.dtype)(x)
+                                 dtype=self.dtype,
+                                 axis_name=self.axis_name)(x)
             elif self.norm == "layer":
                 x = nn.LayerNorm(dtype=self.dtype)(x)
             elif self.norm == "instance":
@@ -48,16 +52,18 @@ class PointMLP(nn.Module):
 
 class ConvBNRelu(nn.Module):
     """conv -> BN -> relu unit (the ordering used inside the encoders,
-    ``network/simple_encoder.py:52-70``)."""
+    ``network/simple_encoder.py:52-70``).  ``axis_name``: SyncBN axis."""
 
     features: int
     dtype: Any = None
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = nn.Dense(self.features, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train,
-                         momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
+                         momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                         axis_name=self.axis_name)(x)
         return nn.relu(x)
 
 

@@ -26,6 +26,7 @@ class ResidualAttentionBlock(nn.Module):
     attention: str = "softmax"
     use_offset: bool = False  # offset-attention (arXiv:2012.09688) variant
     norm: str = "batch"
+    axis_name: str = None  # SyncBN mesh axis
 
     @nn.compact
     def __call__(self, desc_q, desc_kv, train: bool = True):
@@ -37,7 +38,8 @@ class ResidualAttentionBlock(nn.Module):
         else:
             cat = jnp.concatenate([desc_q, message], axis=-1)
         ffn = PointMLP([2 * self.embed_dim, self.embed_dim],
-                       norm=self.norm, name="fc")(cat, train=train)
+                       norm=self.norm, axis_name=self.axis_name,
+                       name="fc")(cat, train=train)
         return desc_q + ffn
 
 
@@ -51,19 +53,21 @@ class GraphAttentionNet(nn.Module):
     num_heads: int
     attention: str = "softmax"
     use_offset: bool = False
+    axis_name: str = None  # SyncBN mesh axis
 
     @nn.compact
     def __call__(self, desc0, desc1, train: bool = True):
         for s in range(self.num_stages):
             self_block = ResidualAttentionBlock(
                 self.embed_dim, self.num_heads, self.attention,
-                self.use_offset, name=f"self_{s}")
+                self.use_offset, axis_name=self.axis_name, name=f"self_{s}")
             desc0 = self_block(desc0, desc0, train=train)
             desc1 = self_block(desc1, desc1, train=train)
 
             cross_block = ResidualAttentionBlock(
                 self.embed_dim, self.num_heads, self.attention,
-                self.use_offset, name=f"cross_{s}")
+                self.use_offset, axis_name=self.axis_name,
+                name=f"cross_{s}")
             desc0 = cross_block(desc0, desc1, train=train)
             desc1 = cross_block(desc1, desc0, train=train)
         return desc0, desc1
