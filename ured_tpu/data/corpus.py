@@ -22,12 +22,26 @@ from ured_tpu.config import URedConfig
 from ured_tpu.data import pairs
 from ured_tpu.data.partnet import (
     PartNetDataset,
+    ShapeNetDataset,
     SourceDB,
     datasplits_path,
     load_sources,
+    shapenet_targets_h5_path,
     source_h5_dir,
     targets_h5_path,
 )
+
+
+def dataset_class(cfg: URedConfig):
+    """PartNet (default) or ShapeNet/ComplementMe loader, selected by the
+    ``dataset`` config extra ('partnet' | 'shapenet')."""
+    return ShapeNetDataset if str(cfg.extras.get("dataset", "partnet")) \
+        == "shapenet" else PartNetDataset
+
+
+def _targets_path(cfg: URedConfig) -> str:
+    return shapenet_targets_h5_path(cfg) \
+        if dataset_class(cfg) is ShapeNetDataset else targets_h5_path(cfg)
 
 
 @dataclass
@@ -163,9 +177,10 @@ def build_pair_archive(cfg: URedConfig, points: np.ndarray,
 
 
 def real_data_available(cfg: URedConfig) -> bool:
-    """True when the PartNet-layout tree the reference trains on is present
-    (combined target h5 + datasplit pickle + per-part source h5 dir)."""
-    return (os.path.exists(targets_h5_path(cfg))
+    """True when the PartNet/ShapeNet-layout tree the reference trains on is
+    present (combined target h5 + datasplit pickle + per-part source h5
+    dir)."""
+    return (os.path.exists(_targets_path(cfg))
             and os.path.exists(datasplits_path(cfg))
             and os.path.isdir(source_h5_dir(cfg)))
 
@@ -178,7 +193,11 @@ def from_partnet(cfg: URedConfig, mesh: bool = False,
     The flagship CLI path (reference ``engine/train.py:156-204``): config
     points at data -> pairs/label-table built or loaded -> train.
     """
-    dataset = PartNetDataset.from_h5(cfg)
+    cls = dataset_class(cfg)
+    dataset = cls.from_h5(cfg)
+    # the dataset family fixes the occlusion distribution for the partial
+    # setting (PartNet pins ball, ShapeNet mixes 30/30/30/10)
+    cfg.extras.setdefault("occlusion_mode", cls.default_occlusion)
     source_db = load_sources(cfg, mesh=mesh)
 
     part_sems, part_valid, num_parts = part_semantics(

@@ -54,6 +54,18 @@ def targets_h5_path(cfg: URedConfig) -> str:
         f"{cfg.category}_{cfg.num_source}_{cfg.mode}.h5")
 
 
+def shapenet_targets_h5_path(cfg: URedConfig) -> str:
+    """ShapeNet/ComplementMe layout (reference
+    ``dataset/shapenet_dataset.py:16-25``): the datasplit directory is
+    doubled around ``middle_name`` and switches to the ``_complementme``
+    variant for ComplementMe data."""
+    split_dir = ("generated_datasplits_complementme" if cfg.complementme
+                 else "generated_datasplits")
+    return os.path.join(
+        cfg.base_dir, split_dir, cfg.middle_name, split_dir,
+        f"{cfg.category}_{cfg.num_source}_{cfg.mode}.h5")
+
+
 def datasplits_path(cfg: URedConfig) -> str:
     return os.path.join(
         cfg.base_dir, "generated_datasplits",
@@ -116,6 +128,10 @@ def load_sources(cfg: URedConfig, mesh: bool = False,
 @dataclass
 class PartNetDataset:
     """Target corpus with fixed-shape arrays + batch iteration."""
+
+    # the reference's PartNet loader pins the occlusion generator to the
+    # kNN-ball variant (``partnet_dataset.py:50``: choose_one_occ = 0)
+    default_occlusion = "ball"
 
     cfg: URedConfig
     points: np.ndarray       # [T, N, 3]
@@ -182,6 +198,22 @@ class PartNetDataset:
 @dataclass
 class ShapeNetDataset(PartNetDataset):
     """ShapeNet / ComplementMe variant (reference
-    ``dataset/shapenet_dataset.py``) — same storage layout; the occlusion
-    choice is the real 30/30/30/10 mixture, which on-device synthesis
-    (``occlusion.occlude(mode='mixed')``) already implements."""
+    ``dataset/shapenet_dataset.py:14-114``).  Differences from PartNet:
+
+      * h5 path uses the nested ``middle_name`` datasplit layout (and the
+        ``generated_datasplits_complementme`` directory for ComplementMe)
+        — see ``shapenet_targets_h5_path``;
+      * the occlusion choice is the real random 30/30/30/10
+        ball/random/slice/part mixture (``:50-58``), here the on-device
+        ``occlusion.occlude(mode='mixed')``;
+      * per-point labels/semantics ride the occlusion mask gather
+        (``:83``: ``labels[points_occ_mask]``), which
+        ``engine.train.make_augment_fn`` applies via the kept-index gather.
+    """
+
+    default_occlusion = "mixed"
+
+    @classmethod
+    def from_h5(cls, cfg: URedConfig,
+                path: Optional[str] = None) -> "ShapeNetDataset":
+        return super().from_h5(cfg, path or shapenet_targets_h5_path(cfg))
