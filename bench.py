@@ -1,15 +1,20 @@
-"""End-of-round benchmark: retrieval+deformation eval throughput on one chip.
+"""End-of-round benchmark on one chip.  Prints ONE JSON line.
 
-Runs the full per-batch eval pipeline (encode target -> per-part pooling ->
-cosine retrieval over the source DB -> gather A-matrices -> graph-attention
-param decode -> analytic deformation -> masked chamfer -> residual scoring)
-at reference chair scale: 2048-point targets, 16-part padding, 512-dim
-latents, 512-source DB (reference: 500 chair sources,
-``config_train_chair.json:7``).
+Primary metric: retrieval+deformation eval throughput (the full per-batch
+eval pipeline — encode target -> per-part pooling -> cosine retrieval over
+the source DB -> gather A-matrices -> graph-attention param decode ->
+analytic deformation -> masked chamfer -> residual scoring) at reference
+chair scale: 2048-point targets, 16-part padding, 512-dim latents,
+512-source DB (reference: 500 chair sources, ``config_train_chair.json:7``).
+``extras`` carries the rest of the perf contract: train-step time /
+throughput and EMD latency.
 
-Prints ONE JSON line.  ``vs_baseline`` is measured throughput divided by the
-north-star floor of 4 targets/sec (full 1207-target chair eval in < 5 min on
-one v5e chip, BASELINE.md).
+Timing methodology: on remote-execution backends ``jax.block_until_ready``
+can return before device completion, so every measurement here forces a
+device->host VALUE READ of the final output — executions on one device
+serialize, so reading the last result bounds the whole timed region.  The
+train step is additionally measured as a ``lax.scan`` of 50 steps inside one
+program, giving device-only time without per-dispatch host overhead.
 """
 
 import json
@@ -18,23 +23,109 @@ import time
 import numpy as np
 
 
+def _force(out):
+    """Device->host read of one leaf: true completion barrier."""
+    import jax
+
+    return np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+
+
+def bench_eval(cfg, model, variables, data):
+    import jax
+    import jax.numpy as jnp
+
+    from ured_tpu.engine.evaluate import build_source_db, make_eval_step
+
+    src_db = build_source_db(
+        cfg, model, variables,
+        jnp.asarray(data.src_points), jnp.asarray(data.src_sems),
+        jnp.asarray(data.src_mats))
+    step = jax.jit(make_eval_step(cfg, model))
+    num_targets = data.points.shape[0]
+    batches = []
+    for i in range(0, num_targets, cfg.batch_size):
+        batches.append({
+            "x": jnp.asarray(data.points[i:i + cfg.batch_size]),
+            "labels": jnp.asarray(data.labels[i:i + cfg.batch_size]),
+            "tgt_sem": jnp.asarray(data.semantics[i:i + cfg.batch_size]),
+        })
+    out = step(variables, batches[0], src_db)   # compile
+    _force(out["cd_full"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        for b in batches:
+            out = step(variables, b, src_db)
+    _force(out["cd_full"])
+    dt = time.perf_counter() - t0
+    return iters * num_targets / dt
+
+
+def bench_train_step(cfg, model, data, n_steps: int = 50):
+    import jax
+    import jax.numpy as jnp
+
+    from ured_tpu.data import synthetic
+    from ured_tpu.engine.train import (
+        init_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    batch = {k: jnp.asarray(v) for k, v in synthetic.make_batch(
+        data, np.arange(cfg.batch_size), cfg.MAX_NUM_PARTS).items()}
+    tx, _ = make_optimizer(cfg, 1)
+    state = init_state(cfg, model, tx, batch)
+    inner = make_train_step(cfg, model, tx)
+
+    @jax.jit
+    def many(state, batch):
+        def body(s, _):
+            s, m = inner(s, batch, jnp.asarray(0))
+            return s, m["all_loss"]
+        s, losses = jax.lax.scan(body, state, None, length=n_steps)
+        return s, losses[-1]
+
+    s1, loss = many(state, batch)               # compile + warm
+    _force(loss)
+    t0 = time.perf_counter()
+    _, loss = many(s1, batch)                   # fresh carry: no result reuse
+    _force(loss)
+    dt = (time.perf_counter() - t0) / n_steps
+    return dt
+
+
+def bench_emd(n: int = 1024, b: int = 8, iters: int = 5):
+    import jax
+    import jax.numpy as jnp
+
+    from ured_tpu.ops.emd import emd_auction
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(b, n, 3)), jnp.float32)
+    y = jnp.asarray(rng.uniform(size=(b, n, 3)), jnp.float32)
+    f = jax.jit(lambda x, y: emd_auction(x, y)[0])
+    _force(f(x, y))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(x, y)
+    _force(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from ured_tpu.config import URedConfig
     from ured_tpu.data import synthetic
-    from ured_tpu.engine.evaluate import build_source_db, make_eval_step
     from ured_tpu.models.ured import URED
 
-    # batch 32: device stages are sub-ms, so per-dispatch host latency is
-    # the floor — batch wide enough to amortize it
+    # batch 32 amortizes per-dispatch host latency over the tunnel
     cfg = URedConfig(batch_size=32)
-    num_sources = 512
-    num_targets = 64
-
     data = synthetic.generate(
-        num_targets=num_targets, num_sources=num_sources,
+        num_targets=64, num_sources=512,
         n_points=cfg.num_target_points, points_per_part=cfg.num_part_points,
         max_parts=cfg.MAX_NUM_PARTS, seed=0)
 
@@ -49,43 +140,29 @@ def main():
         tiny, np.arange(1), cfg.MAX_NUM_PARTS).items()}
     variables = model.init(jax.random.PRNGKey(0), init_batch, train=False)
 
-    src_db = build_source_db(
-        cfg, model, variables,
-        jnp.asarray(data.src_points), jnp.asarray(data.src_sems),
-        jnp.asarray(data.src_mats))
+    eval_tps = bench_eval(cfg, model, variables, data)
 
-    # per-batch jitted step (make_corpus_eval fuses the whole split into one
-    # lax.map program, but its compile is prohibitively slow on remote-
-    # compile backends; the per-batch loop is within ~20% at batch 32)
-    step = jax.jit(make_eval_step(cfg, model))
-    batches = []
-    for i in range(0, num_targets, cfg.batch_size):
-        batches.append({
-            "x": jnp.asarray(data.points[i:i + cfg.batch_size]),
-            "labels": jnp.asarray(data.labels[i:i + cfg.batch_size]),
-            "tgt_sem": jnp.asarray(data.semantics[i:i + cfg.batch_size]),
-        })
+    train_cfg = URedConfig()  # reference scale: bs 16, 2048 pts, 512 dims
+    train_data = synthetic.generate(
+        num_targets=16, num_sources=16,
+        n_points=train_cfg.num_target_points,
+        points_per_part=train_cfg.num_part_points,
+        max_parts=train_cfg.MAX_NUM_PARTS, seed=0)
+    step_s = bench_train_step(train_cfg, URED(train_cfg), train_data)
+    emd_ms = bench_emd()
 
-    # warmup / compile
-    out = step(variables, batches[0], src_db)
-    jax.block_until_ready(out["cd_full"])
-
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        for b in batches:
-            out = step(variables, b, src_db)
-    jax.block_until_ready(out["cd_full"])
-    dt = time.perf_counter() - t0
-
-    targets_per_sec = iters * num_targets / dt
     baseline_floor = 4.0  # targets/sec implied by the <5 min north star
     print(json.dumps({
         "metric": "retrieval+deform eval throughput (2048-pt targets, "
                   "512-source DB, 16-part padding, 512-dim latents)",
-        "value": round(targets_per_sec, 2),
+        "value": round(eval_tps, 2),
         "unit": "targets/sec/chip",
-        "vs_baseline": round(targets_per_sec / baseline_floor, 2),
+        "vs_baseline": round(eval_tps / baseline_floor, 2),
+        "extras": {
+            "train_step_ms": round(step_s * 1e3, 2),
+            "train_samples_per_sec": round(train_cfg.batch_size / step_s, 1),
+            "emd_1024pt_batch8_ms": round(emd_ms, 1),
+        },
     }))
 
 
