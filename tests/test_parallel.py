@@ -226,3 +226,37 @@ def test_eval_step_gspmd_sharded_db():
                                np.asarray(want["cd_full"]), rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(got["top1"]),
                                   np.asarray(want["top1"]))
+
+
+def test_sharded_retrieval_100k_scale(rng):
+    """Exactness of the db-sharded top-k at production DB scale: 100k
+    sources over 4 db shards (the 'long axis' of SURVEY.md §5), queries
+    sharded over dp."""
+    s = 100_000
+    q = jnp.asarray(rng.normal(size=(16, 32)), jnp.float32)
+    db = jnp.asarray(rng.normal(size=(s, 32)), jnp.float32)
+    want_s, want_i = retrieve_topk(q, db, k=40)
+    mesh = make_mesh(dp=2, db=4)
+    got_s, got_i = sharded_retrieve_topk(q, db, k=40, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               atol=1e-5)
+    # indices may differ only where scores tie at float resolution
+    mism = np.asarray(got_i) != np.asarray(want_i)
+    if mism.any():
+        ws = np.asarray(want_s)
+        gs = np.asarray(got_s)
+        np.testing.assert_allclose(gs[mism], ws[mism], atol=1e-6)
+
+
+def test_sharded_retrieval_uneven_k_vs_shard():
+    """k larger than one shard's contribution: merge still exact."""
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+    db = jnp.asarray(rng.normal(size=(64, 16)), jnp.float32)
+    mesh = make_mesh(dp=1, db=8)   # shard=8 < k=20
+    want_s, want_i = retrieve_topk(q, db, k=20)
+    got_s, got_i = sharded_retrieve_topk(q, db, k=20, mesh=mesh)
+    # per-shard top-k is capped at the shard size (8), so only the global
+    # top-(db*kk) winners are recoverable; for k <= shard*db they match
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               atol=1e-5)
