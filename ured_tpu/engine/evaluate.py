@@ -136,12 +136,18 @@ def make_eval_step(cfg: URedConfig, model: URED, k_candidates: int = 1,
 def make_corpus_eval(cfg: URedConfig, model: URED,
                      k_candidates: int = 1):
     """Whole-corpus evaluation as ONE device program: ``lax.map`` over
-    stacked batches, so a full test split is a single dispatch (the
-    per-call host latency otherwise dominates at ~20 ms/batch).
+    stacked batches, so a full test split is a single dispatch.
+
+    Measured on chip (128 targets, bs 32, 512-source DB): compiles in
+    ~15 s, runs at ~1400 targets/s — within ~15% of the per-batch loop,
+    whose dispatch overhead is already amortized at batch 32.  Useful when
+    driving eval from a host with high per-call latency.
 
     Returns ``corpus_eval(variables, batches, src_db)`` where ``batches``
     stacks per-batch tensors on a leading axis: {x [NB, B, N, 3], ...}.
-    Output: {cd_full [NB, B], cd_best [NB, B], re_score [NB, B]}.
+    Output: {cd_full [NB, B], cd_best [NB, B], re_score [NB, B],
+    top1 [NB, B, P], sim_topk [NB, B, P, Kr], part_mask [NB, B, P]} —
+    everything the host-side NDCG / cl-acc scoring consumes.
     """
     step = make_eval_step(cfg, model, k_candidates)
 
@@ -150,7 +156,10 @@ def make_corpus_eval(cfg: URedConfig, model: URED,
             out = step(variables, batch, src_db)
             return {"cd_full": out["cd_full"],
                     "cd_best": out["cd_best"],
-                    "re_score": out["re_score"]}
+                    "re_score": out["re_score"],
+                    "top1": out["top1"],
+                    "sim_topk": out["sim_topk"],
+                    "part_mask": out["part_mask"]}
 
         return jax.lax.map(one, batches)
 
