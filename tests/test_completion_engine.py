@@ -83,3 +83,12 @@ def test_export_assembly(tmp_path, rng):
                              labels=np.arange(16) % 4)
     back = io.read_ply_points(ply)
     assert back.shape == (16, 3)
+
+
+def test_completion_trains_adversarial():
+    """GAN path integrated into the trainer (vrcnet_plus discriminator,
+    reference utils/train_utils.py:40-58)."""
+    state, best = train_completion(
+        model_name="pcn", epochs=1, batch_size=4, num_train=4,
+        n_points=64, seed=0, adversarial=True)
+    assert np.isfinite(best["dcd"])

@@ -206,8 +206,15 @@ def train_completion(model_name: str = "pcn", epochs: int = 2,
                      n_points: int = 256, base_lr: float = 1e-3,
                      seed: int = 0,
                      data: Optional[Tuple[np.ndarray, np.ndarray]] = None,
-                     checkpoint_dir: Optional[str] = None):
-    """Train a completion model; returns (state, best validation metrics)."""
+                     checkpoint_dir: Optional[str] = None,
+                     adversarial: bool = False,
+                     adv_weight: float = 0.1):
+    """Train a completion model; returns (state, best validation metrics).
+
+    ``adversarial=True`` adds the Point_Discriminator and alternates
+    generator / discriminator steps (the vrcnet_plus GAN path, reference
+    ``utils/train_utils.py:40-58`` + ``vrcnet_plus.py:Point_Discriminator:
+    617``)."""
     if model_name == "pcn":
         model = PCN(num_coarse=max(n_points // 4, 16), grid_size=2)
     elif model_name == "vrcnet":
@@ -245,7 +252,22 @@ def train_completion(model_name: str = "pcn", epochs: int = 2,
     state = CompletionState(jnp.zeros((), jnp.int32), variables["params"],
                             tx.init(variables["params"]))
 
-    step = jax.jit(make_completion_step(model, tx))
+    d_state = None
+    if adversarial:
+        from ured_tpu.models.completion import PointDiscriminator
+
+        disc = PointDiscriminator()
+        d_vars = disc.init(jax.random.PRNGKey(seed + 3),
+                           jnp.asarray(gt[:batch_size]), train=False)
+        tx_d = optax.adam(base_lr)
+        d_state = CompletionState(jnp.zeros((), jnp.int32),
+                                  d_vars["params"],
+                                  tx_d.init(d_vars["params"]))
+        g_step, d_step = make_gan_steps(model, disc, tx, tx_d,
+                                        adv_weight=adv_weight)
+        g_step, d_step = jax.jit(g_step), jax.jit(d_step)
+    else:
+        step = jax.jit(make_completion_step(model, tx))
     metrics_fn = jax.jit(make_eval_metrics(model))
 
     rng = np.random.default_rng(seed)
@@ -255,8 +277,12 @@ def train_completion(model_name: str = "pcn", epochs: int = 2,
         alpha = alpha_schedule(epoch, epochs)
         for _ in range(steps_per_epoch):
             idx = rng.permutation(num)[:batch_size]
-            state, loss = step(state, jnp.asarray(partial[idx]),
-                               jnp.asarray(gt[idx]), alpha)
+            pb, gb = jnp.asarray(partial[idx]), jnp.asarray(gt[idx])
+            if adversarial:
+                d_state, _ = d_step(d_state, state.params, pb, gb)
+                state, loss = g_step(state, d_state.params, pb, gb)
+            else:
+                state, loss = step(state, pb, gb, alpha)
         m = {k: float(v) for k, v in metrics_fn(
             state.params, jnp.asarray(partial[:batch_size]),
             jnp.asarray(gt[:batch_size])).items()}
