@@ -132,9 +132,10 @@ def compute_losses(cfg: URedConfig, batch: Dict[str, Array],
         losses["param_loss"] = l
         total += cfg.use_param_loss * l
 
+    lowp = bool(cfg.nn_lowp)
     if cfg.use_chamfer_loss > 0:
         cd_full, cd_part = assembly_chamfer_loss(
-            deformed, x, tgt_parts, tgt_parts_valid, part_mask)
+            deformed, x, tgt_parts, tgt_parts_valid, part_mask, lowp=lowp)
         losses["cd_loss_full"] = cd_full
         losses["cd_loss_part"] = cd_part
         total += cfg.use_chamfer_loss * cd_full
@@ -149,7 +150,7 @@ def compute_losses(cfg: URedConfig, batch: Dict[str, Array],
 
     if cfg.use_symmetry_loss > 0:
         ref_full, _ = symmetry_loss(
-            deformed, x, tgt_parts, tgt_parts_valid, part_mask)
+            deformed, x, tgt_parts, tgt_parts_valid, part_mask, lowp=lowp)
         losses["ref_cd_loss_full"] = ref_full
         total += cfg.use_symmetry_loss * ref_full
 
@@ -158,7 +159,7 @@ def compute_losses(cfg: URedConfig, batch: Dict[str, Array],
         flat = jax.lax.stop_gradient(deformed).reshape(b, pp * n, 3)
         flat_mask = jnp.repeat(part_mask, n, axis=-1)
         re_loss, re_reg = residual_retrieval_loss(
-            x, flat, flat_mask, out["re_residuals"])
+            x, flat, flat_mask, out["re_residuals"], lowp=lowp)
         losses["re_reg_loss_full"] = re_loss
         losses["reg_loss_full"] = re_reg
         gate = (epoch > cfg.init_p_m_loss).astype(jnp.float32)

@@ -34,7 +34,8 @@ def _flatten_parts(deformed: Array, part_mask: Array) -> Tuple[Array, Array]:
 
 def assembly_chamfer_loss(deformed: Array, target: Array,
                           target_parts: Array, target_parts_valid: Array,
-                          part_mask: Array) -> Tuple[Array, Array]:
+                          part_mask: Array,
+                          lowp: bool = False) -> Tuple[Array, Array]:
     """Full-shape + per-part Chamfer between deformed assembly and target.
 
     Args:
@@ -50,7 +51,7 @@ def assembly_chamfer_loss(deformed: Array, target: Array,
     """
     b, p, n, _ = deformed.shape
     flat, flat_mask = _flatten_parts(deformed, part_mask)
-    full = chamfer_distance(flat, target, flat_mask, None)  # [B]
+    full = chamfer_distance(flat, target, flat_mask, None, lowp=lowp)  # [B]
 
     # per part: fold parts into batch, masked both sides
     m = target_parts.shape[2]
@@ -59,7 +60,7 @@ def assembly_chamfer_loss(deformed: Array, target: Array,
     d_mask = jnp.broadcast_to(part_mask[..., None], (b, p, n)).reshape(b * p, n)
     t_mask = target_parts_valid.reshape(b * p, m)
     # guard: fully-masked pairs produce garbage; zero them via part_mask below
-    per_part = chamfer_distance(d, t, d_mask, t_mask).reshape(b, p)
+    per_part = chamfer_distance(d, t, d_mask, t_mask, lowp=lowp).reshape(b, p)
     per_part = jnp.where(part_mask > 0, per_part, 0.0)
     part = masked_mean(per_part, part_mask)  # [B]
     return jnp.mean(full), jnp.mean(part)
@@ -67,10 +68,11 @@ def assembly_chamfer_loss(deformed: Array, target: Array,
 
 def symmetry_loss(deformed: Array, target: Array,
                   target_parts: Array, target_parts_valid: Array,
-                  part_mask: Array) -> Tuple[Array, Array]:
+                  part_mask: Array, lowp: bool = False) -> Tuple[Array, Array]:
     """Chamfer of the x-reflected assembly (reference ``train.py:305-312``)."""
     return assembly_chamfer_loss(get_symmetric(deformed), target,
-                                 target_parts, target_parts_valid, part_mask)
+                                 target_parts, target_parts_valid, part_mask,
+                                 lowp=lowp)
 
 
 def contrastive_loss(tgt_part_f: Array, src_f: Array, valid: Array,
@@ -137,7 +139,8 @@ def _mean_denominator(den: Array, axis_name: Optional[str]) -> Array:
 
 def residual_retrieval_loss(x: Array, deformed_flat: Array,
                             deformed_mask: Array,
-                            residuals: Array) -> Tuple[Array, Array]:
+                            residuals: Array,
+                            lowp: bool = False) -> Tuple[Array, Array]:
     """Residual-guided retrieval metric loss.
 
     Reference ``basic_loss.py:249-267``: for each target point, find the
@@ -156,7 +159,8 @@ def residual_retrieval_loss(x: Array, deformed_flat: Array,
     # at eval scale)
     from ured_tpu.ops.chamfer import chamfer_raw
 
-    _, idx1, _, _ = chamfer_raw(x, deformed_flat, None, deformed_mask)
+    _, idx1, _, _ = chamfer_raw(x, deformed_flat, None, deformed_mask,
+                                lowp=lowp)
     nn = jnp.take_along_axis(deformed_flat, idx1[..., None], axis=-2)
     res_nn = x + residuals - nn
     loss = jnp.mean(jnp.sum(jnp.abs(res_nn), axis=-1))
