@@ -51,6 +51,53 @@ def bench_nn():
         print(f"nn+grad {label}: {dt * 1e3:.2f} ms")
 
 
+def bench_nn_variants():
+    """Full-contract comparison (all four outputs consumed): XLA fused
+    argmin+recompute vs Pallas exact vs Pallas packed-min."""
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.timing import time_fn
+    from ured_tpu.ops.chamfer import _nn_both_directions
+    from ured_tpu.ops.chamfer_pallas import (
+        nn_distance_pallas,
+        nn_indices_pallas_packed,
+        pick_tile,
+    )
+
+    rng = np.random.default_rng(0)
+    shapes = [(16, 16384, 2048), (256, 1024, 2048), (16, 2048, 2048)]
+    for b, n, m in shapes:
+        x = jnp.asarray(rng.normal(size=(b, n, 3)), jnp.float32)
+        y = jnp.asarray(rng.normal(size=(b, m, 3)), jnp.float32)
+        xm = jnp.ones((b, n), jnp.float32)
+        ym = jnp.ones((b, m), jnp.float32)
+        label = f"[{b}x{n} vs {m}]"
+        def consume_all(f):
+            # sum every output so DCE cannot drop a direction
+            def g(x, y, xm, ym):
+                import jax.numpy as jnp
+                return sum(o.sum().astype(jnp.float32) for o in f(x, y, xm, ym))
+            return g
+
+        cands = {
+            "xla_fused": consume_all(_nn_both_directions),
+        }
+        if pick_tile(n, m) > 0:
+            cands["pallas_exact"] = consume_all(
+                lambda x, y, xm, ym: nn_distance_pallas(x, y, xm, ym))
+            cands["pallas_packed"] = consume_all(
+                lambda x, y, xm, ym: nn_indices_pallas_packed(x, y, xm, ym))
+        for name, f in cands.items():
+            try:
+                dt = time_fn(jax.jit(f), x, y, xm, ym)
+                print(f"nnvar {label} {name}: {dt * 1e3:.2f} ms",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"nnvar {label} {name}: FAILED "
+                      f"{type(e).__name__}: {e}", flush=True)
+
+
 def bench_topk():
     import jax
     import jax.numpy as jnp
@@ -103,5 +150,7 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("nn", "all"):
         bench_nn()
+    if which in ("variants", "all"):
+        bench_nn_variants()
     if which in ("topk", "all"):
         bench_topk()

@@ -62,8 +62,6 @@ def main(variants):
         cfg = URedConfig()  # reference scale: bs16, 2048 pts, 512 dims
         if "bf16" in v:
             cfg.compute_dtype = "bfloat16"
-        if "lowp" in v:
-            cfg.nn_lowp = True
         if "nochamfer" in v:   # ablation: model fwd/bwd without the
             cfg.use_chamfer_loss = 0.0      # distance-matrix loss family
             cfg.use_symmetry_loss = 0.0
@@ -79,4 +77,4 @@ def main(variants):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or ["f32", "lowp", "bf16", "bf16+lowp"])
+    main(sys.argv[1:] or ["f32", "bf16"])

@@ -109,36 +109,15 @@ def test_jit_and_vmap_compose(rng):
 
 
 # ---------------------------------------------------------------------------
-# bf16 neighbor-selection variant (ops/chamfer.py::nn_distance_lowp)
+# selection + exact-recompute contract (ops/chamfer.py::_nn_both_directions)
 # ---------------------------------------------------------------------------
 
-def test_lowp_selection_contract_vs_oracle(rng):
-    # The lowp contract: every selected neighbor is either the true nearest
-    # (index matches the f32 oracle) or a near-tie — its exact distance is
-    # within bf16 resolution (~0.4% rel) of the true minimum.
-    x, y = _clouds(rng, b=4, n=96, m=80)
-    d1, i1, d2, i2 = chamfer_raw(x, y, lowp=True)
-    rd1, ri1, rd2, ri2 = chamfer_reference(x, y)
-    for d, i, rd, ri in ((d1, i1, rd1, ri1), (d2, i2, rd2, ri2)):
-        d, i, rd, ri = map(np.asarray, (d, i, rd, ri))
-        mismatched = i != ri
-        # mismatches happen only between near-ties: the exact distance of
-        # the picked candidate is within the bf16 cancellation bound
-        # (~eps * |x|^2+|y|^2 terms, here |coords|~N(0,1) -> slack ~0.1)
-        assert mismatched.mean() < 0.35, mismatched.mean()
-        assert np.all(rd <= d + 1e-6)                   # oracle is the min
-        near_tie = d <= rd + 0.1
-        assert np.all(near_tie | ~mismatched)
-        # where selection agrees, distances are f32-exact
-        np.testing.assert_allclose(d[~mismatched], rd[~mismatched],
-                                   atol=1e-6)
-
-
-def test_lowp_distances_exact_at_selected_pairs(rng):
-    # Whatever neighbor bf16 picks, the returned distance must be the exact
-    # f32 distance to THAT neighbor (this is the contract gradients rely on).
+def test_distances_exact_at_selected_pairs(rng):
+    # Whatever neighbor the fused argmin picks, the returned distance must
+    # be the exact f32 distance to THAT neighbor (the contract values and
+    # gradients rely on, regardless of the selection unit's precision).
     x, y = _clouds(rng)
-    d1, i1, d2, i2 = chamfer_raw(x, y, lowp=True)
+    d1, i1, d2, i2 = chamfer_raw(x, y)
     y_sel = jnp.take_along_axis(y, i1[..., None], axis=-2)
     x_sel = jnp.take_along_axis(x, i2[..., None], axis=-2)
     np.testing.assert_allclose(
@@ -147,54 +126,42 @@ def test_lowp_distances_exact_at_selected_pairs(rng):
         d2, jnp.sum((y - x_sel) ** 2, -1), atol=1e-6)
 
 
-def test_lowp_loss_close_to_exact(rng):
-    # On generic random clouds the lowp chamfer LOSS stays within bf16
-    # selection noise of the exact loss.
-    x, y = _clouds(rng, b=4, n=128, m=96)
-    exact = np.asarray(chamfer_distance(x, y))
-    lowp = np.asarray(chamfer_distance(x, y, lowp=True))
-    assert np.all(lowp >= exact - 1e-5)  # can only pick equal-or-worse pairs
-    np.testing.assert_allclose(lowp, exact, rtol=1e-1)
+def test_selection_matches_oracle_when_unit_is_exact(rng):
+    # On CPU the DEFAULT-precision matmul is f32-exact, so selection must
+    # match the direct-difference oracle exactly (on TPU MXU near-ties
+    # within the bf16-pass window may resolve differently; distances stay
+    # exact at the selected pairs either way).
+    import jax
+
+    if jax.default_backend() != "cpu":
+        import pytest
+
+        pytest.skip("selection-exactness guaranteed only on CPU")
+    x, y = _clouds(rng, b=4, n=96, m=80)
+    d1, i1, d2, i2 = chamfer_raw(x, y)
+    rd1, ri1, rd2, ri2 = chamfer_reference(x, y)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(ri1))
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(ri2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(rd1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(rd2), atol=1e-6)
 
 
-def test_lowp_masked_empty_candidate_rows(rng):
-    # Rows with zero valid candidates keep the +BIG penalty, like the exact
-    # path, so callers' masked reductions behave identically.
+def test_masked_empty_candidate_rows(rng):
+    # Rows with zero valid candidates keep the +BIG penalty so callers'
+    # masked reductions behave identically to the slicing reference.
     x, y = _clouds(rng, b=1, n=8, m=8)
     ym = jnp.zeros((1, 8), jnp.float32)
-    d1, _, _, _ = chamfer_raw(x, y, None, ym, lowp=True)
+    d1, _, _, _ = chamfer_raw(x, y, None, ym)
     assert np.all(np.asarray(d1) >= 1e8)
 
 
-def test_lowp_gradient_flows(rng):
-    x, y = _clouds(rng, b=2, n=32, m=24)
-
-    def loss(x, y):
-        return jnp.sum(chamfer_distance(x, y, lowp=True))
-
-    gx, gy = jax.grad(loss, argnums=(0, 1))(x, y)
-    assert np.all(np.isfinite(gx)) and np.all(np.isfinite(gy))
-    # grid-separated points: selection == exact selection -> grads equal
-    gxp = jnp.asarray(
-        rng.integers(0, 8, size=(2, 32, 3)).astype(np.float32))
-    gyp = jnp.asarray(
-        rng.integers(0, 8, size=(2, 24, 3)).astype(np.float32))
-
-    def loss_exact(x, y):
-        return jnp.sum(chamfer_distance(x, y))
-
-    g1 = jax.grad(loss, argnums=(0, 1))(gxp, gyp)
-    g2 = jax.grad(loss_exact, argnums=(0, 1))(gxp, gyp)
-    np.testing.assert_allclose(g1[0], g2[0], atol=1e-5)
-    np.testing.assert_allclose(g1[1], g2[1], atol=1e-5)
-
-
 def test_fused_segment_rows_matches_scatter(rng):
-    # The TPU backward fast path (compare-and-reduce) must equal the
-    # scatter-add formulation exactly, duplicates included.
+    # The TPU backward fast paths (compare-and-reduce + one-hot matmul)
+    # must equal the scatter-add formulation, duplicates included.
     from ured_tpu.ops.chamfer import (
         _scatter_add_batched,
         _segment_rows_fused,
+        _segment_rows_onehot,
     )
 
     idx = jnp.asarray(rng.integers(0, 24, size=(4, 96)), jnp.int32)
@@ -203,3 +170,11 @@ def test_fused_segment_rows_matches_scatter(rng):
     for trailing in (False, True):
         got = _segment_rows_fused(idx, val, 24, reduce_trailing=trailing)
         np.testing.assert_allclose(got, want, atol=1e-5)
+    np.testing.assert_allclose(_segment_rows_onehot(idx, val, 24), want,
+                               atol=1e-5)
+    # sparse orientation: more segments than items
+    idx2 = jnp.asarray(rng.integers(0, 96, size=(4, 24)), jnp.int32)
+    val2 = jnp.asarray(rng.normal(size=(4, 24, 3)), jnp.float32)
+    np.testing.assert_allclose(
+        _segment_rows_onehot(idx2, val2, 96),
+        _scatter_add_batched(idx2, val2, 96), atol=1e-5)

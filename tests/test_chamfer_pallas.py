@@ -92,3 +92,75 @@ def test_swapped_orientation_dispatch(rng):
     rd1, ri1, rd2, ri2 = chamfer_reference(x, y)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(rd1), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(ri2))
+
+
+# ---------------------------------------------------------------------------
+# packed min+index variant
+# ---------------------------------------------------------------------------
+
+def test_packed_indices_match_oracle(rng):
+    from ured_tpu.ops.chamfer_pallas import nn_indices_pallas_packed
+
+    # grid-separated points: no near-ties -> packed selection is exact
+    x = jnp.asarray(rng.integers(0, 16, size=(2, 256, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 16, size=(2, 128, 3)), jnp.float32)
+    i1, i2 = nn_indices_pallas_packed(
+        x, y, jnp.ones((2, 256)), jnp.ones((2, 128)),
+        tile_n=128, interpret=True)
+    rd1, ri1, rd2, ri2 = chamfer_reference(x, y)
+    # selected pairs must achieve the true minimum distance (indices may
+    # differ between exact ties on the grid)
+    d_sel = np.take_along_axis(
+        np.asarray(((x[:, :, None] - y[:, None]) ** 2).sum(-1)),
+        np.asarray(i1)[..., None], axis=2)[..., 0]
+    np.testing.assert_allclose(d_sel, np.asarray(rd1), atol=1e-5)
+
+
+def test_packed_selection_near_tie_contract(rng):
+    from ured_tpu.ops.chamfer_pallas import nn_indices_pallas_packed
+
+    x = jnp.asarray(rng.normal(size=(2, 256, 3)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(2, 128, 3)), jnp.float32)
+    i1, i2 = nn_indices_pallas_packed(
+        x, y, jnp.ones((2, 256)), jnp.ones((2, 128)),
+        tile_n=128, interpret=True)
+    rd1, _, rd2, _ = chamfer_reference(x, y)
+    d_full = np.asarray(((x[:, :, None] - y[:, None]) ** 2).sum(-1))
+    d1 = np.take_along_axis(d_full, np.asarray(i1)[..., None],
+                            axis=2)[..., 0]
+    d2 = np.take_along_axis(d_full.transpose(0, 2, 1),
+                            np.asarray(i2)[..., None], axis=2)[..., 0]
+    # 14 of 23 mantissa bits kept -> <= ~2^-9 relative near-tie window
+    # (plus the packed-penalty offset on masked rows; none here)
+    np.testing.assert_allclose(d1, np.asarray(rd1), rtol=3e-2)
+    np.testing.assert_allclose(d2, np.asarray(rd2), rtol=3e-2)
+
+
+def test_packed_masked_validity(rng):
+    from ured_tpu.ops.chamfer_pallas import nn_indices_pallas_packed
+
+    x = jnp.asarray(rng.normal(size=(1, 256, 3)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(1, 128, 3)), jnp.float32)
+    xm = jnp.asarray(np.arange(256) < 200, jnp.float32)[None]
+    ym = jnp.asarray(np.arange(128) < 100, jnp.float32)[None]
+    i1, i2 = nn_indices_pallas_packed(x, y, xm, ym, tile_n=128,
+                                      interpret=True)
+    assert np.all(np.asarray(i1) < 100)
+    assert np.all(np.asarray(i2) < 200)
+
+
+def test_segment_rows_pallas_matches_scatter(rng):
+    from ured_tpu.ops.chamfer import _scatter_add_batched
+    from ured_tpu.ops.chamfer_pallas import segment_rows_pallas
+
+    idx = jnp.asarray(rng.integers(0, 96, size=(4, 24)), jnp.int32)
+    val = jnp.asarray(rng.normal(size=(4, 24, 3)), jnp.float32)
+    got = segment_rows_pallas(idx, val, 96, tile_s=32, interpret=True)
+    want = _scatter_add_batched(idx, val, 96)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # duplicates-heavy case
+    idx = jnp.zeros((2, 64), jnp.int32)
+    val = jnp.ones((2, 64, 3), jnp.float32)
+    got = segment_rows_pallas(idx, val, 64, tile_s=32, interpret=True)
+    assert np.allclose(np.asarray(got)[:, 0], 64.0)
+    assert np.allclose(np.asarray(got)[:, 1:], 0.0)

@@ -96,11 +96,6 @@ class URedConfig:
     mesh_db: int = 1  # source-database-parallel axis size
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
-    # bf16 neighbor *selection* in the chamfer/kNN loss family: halves the
-    # HBM traffic of the [N, M] distance matrices (the train step's largest
-    # tensors) while keeping returned distances f32-exact at the selected
-    # pairs (ops/chamfer.py::nn_distance_lowp)
-    nn_lowp: bool = False
 
     extras: Dict[str, Any] = field(default_factory=dict)
 

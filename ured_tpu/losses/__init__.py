@@ -8,6 +8,7 @@ train step.
 """
 
 from ured_tpu.losses.losses import (
+    assembly_and_symmetry_chamfer,
     assembly_chamfer_loss,
     contrastive_loss,
     pc_consistency,

@@ -34,8 +34,7 @@ def _flatten_parts(deformed: Array, part_mask: Array) -> Tuple[Array, Array]:
 
 def assembly_chamfer_loss(deformed: Array, target: Array,
                           target_parts: Array, target_parts_valid: Array,
-                          part_mask: Array,
-                          lowp: bool = False) -> Tuple[Array, Array]:
+                          part_mask: Array) -> Tuple[Array, Array]:
     """Full-shape + per-part Chamfer between deformed assembly and target.
 
     Args:
@@ -51,7 +50,7 @@ def assembly_chamfer_loss(deformed: Array, target: Array,
     """
     b, p, n, _ = deformed.shape
     flat, flat_mask = _flatten_parts(deformed, part_mask)
-    full = chamfer_distance(flat, target, flat_mask, None, lowp=lowp)  # [B]
+    full = chamfer_distance(flat, target, flat_mask, None)  # [B]
 
     # per part: fold parts into batch, masked both sides
     m = target_parts.shape[2]
@@ -60,7 +59,7 @@ def assembly_chamfer_loss(deformed: Array, target: Array,
     d_mask = jnp.broadcast_to(part_mask[..., None], (b, p, n)).reshape(b * p, n)
     t_mask = target_parts_valid.reshape(b * p, m)
     # guard: fully-masked pairs produce garbage; zero them via part_mask below
-    per_part = chamfer_distance(d, t, d_mask, t_mask, lowp=lowp).reshape(b, p)
+    per_part = chamfer_distance(d, t, d_mask, t_mask).reshape(b, p)
     per_part = jnp.where(part_mask > 0, per_part, 0.0)
     part = masked_mean(per_part, part_mask)  # [B]
     return jnp.mean(full), jnp.mean(part)
@@ -68,11 +67,43 @@ def assembly_chamfer_loss(deformed: Array, target: Array,
 
 def symmetry_loss(deformed: Array, target: Array,
                   target_parts: Array, target_parts_valid: Array,
-                  part_mask: Array, lowp: bool = False) -> Tuple[Array, Array]:
+                  part_mask: Array) -> Tuple[Array, Array]:
     """Chamfer of the x-reflected assembly (reference ``train.py:305-312``)."""
     return assembly_chamfer_loss(get_symmetric(deformed), target,
-                                 target_parts, target_parts_valid, part_mask,
-                                 lowp=lowp)
+                                 target_parts, target_parts_valid, part_mask)
+
+
+def assembly_and_symmetry_chamfer(
+        deformed: Array, target: Array, target_parts: Array,
+        target_parts_valid: Array,
+        part_mask: Array) -> Tuple[Array, Array, Array]:
+    """``assembly_chamfer_loss`` + the symmetry full-chamfer in ONE pass.
+
+    The assembly and the x-reflected assembly are stacked on the batch axis
+    so the step's largest NN instance ([B, P*n vs N]) runs once at 2B
+    instead of twice at B — identical math (per-sample NN is independent of
+    batching), fewer kernel dispatches.  Returns
+    (full_loss, part_loss, symmetry_full_loss); the reference's symmetry
+    term uses only the full component (``train.py:305-312``).
+    """
+    b, p, n, _ = deformed.shape
+    flat, flat_mask = _flatten_parts(deformed, part_mask)
+    ref_flat = get_symmetric(deformed).reshape(b, p * n, 3)
+    stack = jnp.concatenate([flat, ref_flat], axis=0)
+    starget = jnp.concatenate([target, target], axis=0)
+    smask = jnp.concatenate([flat_mask, flat_mask], axis=0)
+    full2 = chamfer_distance(stack, starget, smask, None)       # [2B]
+    full, ref_full = full2[:b], full2[b:]
+
+    m = target_parts.shape[2]
+    d = deformed.reshape(b * p, n, 3)
+    t = target_parts.reshape(b * p, m, 3)
+    d_mask = jnp.broadcast_to(part_mask[..., None], (b, p, n)).reshape(b * p, n)
+    t_mask = target_parts_valid.reshape(b * p, m)
+    per_part = chamfer_distance(d, t, d_mask, t_mask).reshape(b, p)
+    per_part = jnp.where(part_mask > 0, per_part, 0.0)
+    part = masked_mean(per_part, part_mask)                     # [B]
+    return jnp.mean(full), jnp.mean(part), jnp.mean(ref_full)
 
 
 def contrastive_loss(tgt_part_f: Array, src_f: Array, valid: Array,
@@ -139,8 +170,7 @@ def _mean_denominator(den: Array, axis_name: Optional[str]) -> Array:
 
 def residual_retrieval_loss(x: Array, deformed_flat: Array,
                             deformed_mask: Array,
-                            residuals: Array,
-                            lowp: bool = False) -> Tuple[Array, Array]:
+                            residuals: Array) -> Tuple[Array, Array]:
     """Residual-guided retrieval metric loss.
 
     Reference ``basic_loss.py:249-267``: for each target point, find the
@@ -159,8 +189,7 @@ def residual_retrieval_loss(x: Array, deformed_flat: Array,
     # at eval scale)
     from ured_tpu.ops.chamfer import chamfer_raw
 
-    _, idx1, _, _ = chamfer_raw(x, deformed_flat, None, deformed_mask,
-                                lowp=lowp)
+    _, idx1, _, _ = chamfer_raw(x, deformed_flat, None, deformed_mask)
     nn = jnp.take_along_axis(deformed_flat, idx1[..., None], axis=-2)
     res_nn = x + residuals - nn
     loss = jnp.mean(jnp.sum(jnp.abs(res_nn), axis=-1))

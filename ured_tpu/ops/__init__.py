@@ -7,7 +7,6 @@ from ured_tpu.ops.chamfer import (
     chamfer_reference,
     masked_mean,
     nn_distance,
-    nn_distance_lowp,
     pairwise_sqdist,
 )
 from ured_tpu.ops.dcd import calc_dcd

@@ -7,12 +7,14 @@ plus the 2D/5D variants) and the missing ``Shape_Measure.ChamferLoss`` whose
 contract is squared-L2 per-direction costs (usage: reference
 ``loss/chamfer_loss.py:5-10``).
 
-Design: the pairwise squared-distance matrix is computed as
-``|x|^2 + |y|^2 - 2<x, y>`` so the inner product rides the MXU; XLA fuses the
-row-min reduction.  A custom VJP propagates gradients only through the argmin
-pairs — identical to the reference scatter-add backward
-(``chamfer3D.cu:155-174``) — so the [N, M] matrix is never rematerialized for
-the backward pass.
+Design: neighbor *selection* is a per-direction matmul+argmin that XLA fuses
+end-to-end (the [N, M] matrix never reaches HBM), and the returned distances
+are recomputed exactly in f32 at the selected pairs — so values and gradients
+are exact for the chosen pairing while selection resolves near-ties at the
+matmul unit's native precision.  A custom VJP propagates gradients only
+through the selected pairs — identical to the reference scatter-add backward
+(``chamfer3D.cu:155-174``) — so nothing quadratic is rematerialized for the
+backward pass.
 
 All functions take optional validity masks (1 = valid), which is how the
 reference's ragged per-sample slicing (``loss/chamfer_loss.py:13-27``) becomes
@@ -32,8 +34,17 @@ Array = jax.Array
 _BIG = 1e9
 
 
-def pairwise_sqdist(x: Array, y: Array) -> Array:
+def pairwise_sqdist(x: Array, y: Array, precision=None) -> Array:
     """Squared L2 distances between two point sets.
+
+    Default precision is HIGHEST: TPU's default matmul precision runs bf16
+    passes, which leaks ~0.4% rel error into the distances; public callers
+    consume the whole materialized matrix (top-k, thresholds, EMD costs),
+    where the extra matmul passes at D<=5 are a negligible fraction of the
+    [N, M] HBM traffic.  The NN *selection* path passes DEFAULT explicitly —
+    there the matrix has a single argmin consumer and XLA fuses the matmul
+    into the reduction, which the multi-pass precisions would break
+    (measured: 6.0 ms fused vs 13.9 ms at HIGHEST, [16, 16384 vs 2048]).
 
     Args:
       x: [..., N, D]
@@ -42,15 +53,13 @@ def pairwise_sqdist(x: Array, y: Array) -> Array:
       [..., N, M] squared distances (may be slightly negative from fp error;
       clamped at 0).
     """
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     x2 = jnp.sum(x * x, axis=-1)[..., :, None]
     y2 = jnp.sum(y * y, axis=-1)[..., None, :]
-    # HIGHEST: TPU's default matmul precision runs bf16 passes, which leaks
-    # ~0.4% rel error into the distances; at D<=5 the contraction is a
-    # negligible fraction of the op (the [N, M] HBM write dominates), so
-    # full-f32 passes are free and keep the exact path truly f32-exact.
     xy = jnp.einsum("...nd,...md->...nm", x, y,
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=precision)
     return jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)
 
 
@@ -58,43 +67,56 @@ def _ones_mask(p: Array) -> Array:
     return jnp.ones(p.shape[:-1], dtype=p.dtype)
 
 
-def _nn_one_direction(x, y, y_mask):
-    """For each x point, squared distance to + index of nearest valid y."""
-    d = pairwise_sqdist(x, y)
-    d = d + (_BIG * (1.0 - y_mask))[..., None, :]
-    idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
-    dist = jnp.min(d, axis=-1)
-    return dist, idx
+def _argmin_direction(a, b, b_mask):
+    """Index of the nearest valid ``b`` point for every ``a`` point.
+
+    Each direction builds its own distance matrix with a SINGLE argmin
+    consumer: XLA then fuses the matmul into the reduction and the [N, M]
+    matrix is never materialized in HBM.  Sharing one matrix between both
+    directions (or raising the matmul precision) forces materialization and
+    measures 2x slower at training shapes ([16, 16384 vs 2048]: 6.0 ms for
+    two fused passes vs 11.9/13.9 ms shared/HIGHEST).  Selection therefore
+    resolves near-ties at the matmul unit's native precision (f32-exact on
+    CPU; bf16-pass window ~0.4% rel on TPU MXU).
+    """
+    d = pairwise_sqdist(a, b, precision=jax.lax.Precision.DEFAULT)
+    d = d + (_BIG * (1.0 - b_mask))[..., None, :]
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+def _exact_sqdist_at(a, b, idx, b_mask):
+    """Exact f32 squared distance from each ``a`` point to its selected
+    ``b`` neighbor; rows whose selected neighbor is invalid (possible only
+    when a row has zero valid candidates) keep the +_BIG penalty."""
+    b_sel = jnp.take_along_axis(b, idx[..., None], axis=-2)
+    dist = jnp.sum((a - b_sel) ** 2, axis=-1)
+    sel_valid = jnp.take_along_axis(b_mask, idx, axis=-1)
+    return dist + _BIG * (1.0 - sel_valid)
 
 
 def _nn_both_directions(x, y, x_mask, y_mask):
-    """Bidirectional NN from ONE distance matrix.
-
-    ``pairwise_sqdist(y, x)`` is exactly the transpose of
-    ``pairwise_sqdist(x, y)``, so computing the [N, M] matrix once and
-    reducing over each axis halves the matmul FLOPs and saves one full
-    HBM materialization of the matrix versus two independent
-    ``_nn_one_direction`` calls (the matrix write dominates the op's
-    runtime at training shapes: [16, 16384, 2048] f32 is 2.1 GB)."""
-    d = pairwise_sqdist(x, y)
-    d1 = d + (_BIG * (1.0 - y_mask))[..., None, :]
-    dist1 = jnp.min(d1, axis=-1)
-    idx1 = jnp.argmin(d1, axis=-1).astype(jnp.int32)
-    d2 = d + (_BIG * (1.0 - x_mask))[..., :, None]
-    dist2 = jnp.min(d2, axis=-2)
-    idx2 = jnp.argmin(d2, axis=-2).astype(jnp.int32)
+    """Bidirectional NN: fused argmin selection + exact distances at the
+    selected pairs (see ``_argmin_direction``/``_exact_sqdist_at``).  The
+    returned distances are f32-exact for the selected pairing regardless of
+    the selection unit's precision — the contract downstream losses and the
+    custom VJP rely on."""
+    idx1 = _argmin_direction(x, y, y_mask)
+    idx2 = _argmin_direction(y, x, x_mask)
+    dist1 = _exact_sqdist_at(x, y, idx1, y_mask)
+    dist2 = _exact_sqdist_at(y, x, idx2, x_mask)
     return dist1, idx1, dist2, idx2
 
 
 def _pallas_eligible(n: int, m: int) -> bool:
     """Whether to dispatch to the fused Pallas kernel.
 
-    OFF unless ``URED_NN_PALLAS=1``: the one-matrix XLA path
-    (``_nn_both_directions``) measures strictly faster at every live shape
-    on v5e (e.g. [16, 16384 vs 2048]: XLA 5.96 ms vs Pallas 15.05 ms) —
-    the VPU difference tiles can't keep up with the MXU matmul even though
-    the kernel never materializes the [N, M] matrix.  The kernel remains
-    available for memory-pressure regimes where the matrix doesn't fit.
+    OFF unless ``URED_NN_PALLAS=1``: the fused-argmin XLA path
+    (``_nn_both_directions``) measures faster at every live shape on v5e
+    (full 4-output contract, [16, 16384 vs 2048]: XLA 6.0 ms vs Pallas
+    exact 7.7 / packed 8.3 ms) — the VPU difference tiles can't keep up
+    with the fused MXU matmul.  The kernels remain available for
+    memory-pressure regimes (XLA's fusion choices can change) and as the
+    reference-CUDA-analogue implementation.
 
     Tile constraints (after any orientation swap): the non-tiled cloud
     lives whole in VMEM as [M, 3] padded to 128 lanes (~512 B/point), so M
@@ -123,9 +145,11 @@ def nn_distance(x: Array, y: Array, x_mask: Array, y_mask: Array):
     neighbors; distances *from* invalid points are still produced and must be
     excluded by the caller's reduction (the masks gate gradients here).
 
-    On TPU with tile-aligned shapes the forward runs as a fused Pallas
-    kernel (``chamfer_pallas.py``) that never materializes the [N, M]
-    matrix; elsewhere it falls back to the XLA matmul+min path.
+    Distances are exact f32 at the selected pairs; selection resolves
+    near-ties at the matmul unit's native precision (see
+    ``_argmin_direction``).  With ``URED_NN_PALLAS=1`` and tile-aligned
+    shapes the forward instead runs the fused Pallas kernel
+    (``chamfer_pallas.py``).
 
     Args:
       x: [B, N, D] points.
@@ -154,57 +178,6 @@ def _nn_distance_fwd(x, y, x_mask, y_mask):
     return out, (x, y, x_mask, y_mask, idx1, idx2)
 
 
-def _nn_both_directions_lowp(x, y, x_mask, y_mask):
-    """Bidirectional NN with bf16 *candidate selection* + exact distances.
-
-    The [N, M] matrix is the op's whole cost (HBM write + read of N*M
-    floats); storing it in bfloat16 halves that traffic.  bf16 only decides
-    WHICH neighbor wins — the returned distances are recomputed exactly in
-    f32 at the selected pairs, so downstream losses/gradients stay f32-exact
-    for the chosen pairing (selection can differ from exact argmin only
-    between near-tied neighbors, where the exact distances agree to ~0.4%).
-    """
-    xb = x.astype(jnp.bfloat16)
-    yb = y.astype(jnp.bfloat16)
-    x2 = jnp.sum(xb * xb, axis=-1)[..., :, None]
-    y2 = jnp.sum(yb * yb, axis=-1)[..., None, :]
-    xy = jnp.einsum("...nd,...md->...nm", xb, yb,
-                    preferred_element_type=jnp.bfloat16)
-    d = x2 + y2 - 2.0 * xy                       # bf16 [N, M]
-    big = jnp.asarray(_BIG, jnp.bfloat16)
-    idx1 = jnp.argmin(d + big * (1.0 - y_mask.astype(d.dtype))[..., None, :],
-                      axis=-1).astype(jnp.int32)
-    idx2 = jnp.argmin(d + big * (1.0 - x_mask.astype(d.dtype))[..., :, None],
-                      axis=-2).astype(jnp.int32)
-
-    def exact(a, b, idx, b_mask):
-        b_sel = jnp.take_along_axis(b, idx[..., None], axis=-2)
-        dist = jnp.sum((a - b_sel) ** 2, axis=-1)
-        # parity with the exact path when a row has zero valid candidates:
-        # the selected (invalid) column keeps its +_BIG penalty
-        sel_valid = jnp.take_along_axis(b_mask, idx, axis=-1)
-        return dist + _BIG * (1.0 - sel_valid)
-
-    dist1 = exact(x, y, idx1, y_mask)
-    dist2 = exact(y, x, idx2, x_mask)
-    return dist1, idx1, dist2, idx2
-
-
-@jax.custom_vjp
-def nn_distance_lowp(x: Array, y: Array, x_mask: Array, y_mask: Array):
-    """``nn_distance`` with bf16 neighbor selection (see
-    ``_nn_both_directions_lowp``).  Same signature/contract; same backward
-    (gradients flow through the selected pairs, which is the true gradient
-    of the returned exact distances)."""
-    return _nn_both_directions_lowp(x, y, x_mask, y_mask)
-
-
-def _nn_distance_lowp_fwd(x, y, x_mask, y_mask):
-    out = nn_distance_lowp(x, y, x_mask, y_mask)
-    _, idx1, _, idx2 = out
-    return out, (x, y, x_mask, y_mask, idx1, idx2)
-
-
 def _scatter_add_rows(idx: Array, val: Array, size: int) -> Array:
     """[N] indices + [N, D] values -> [size, D] scatter-added rows."""
     return jnp.zeros((size, val.shape[-1]), val.dtype).at[idx].add(val)
@@ -214,16 +187,14 @@ _scatter_add_batched = jax.vmap(_scatter_add_rows, in_axes=(0, 0, None))
 
 
 def _segment_rows_fused(idx: Array, val: Array, size: int,
-                        reduce_trailing: bool) -> Array:
-    """Scatter-add as a fused compare-and-reduce (TPU).
+                        reduce_trailing: bool = True) -> Array:
+    """Scatter-add as a fused compare-and-reduce.
 
-    XLA's TPU scatter serializes row updates (12-16 ms for the backward
-    shapes of the training step); a broadcast ``idx == iota`` mask fused
-    into a reduction runs on the VPU without materializing the [m, size]
-    mask and measures 1.2-1.8x faster (benchmarks/: scatter 12.98/16.37 ms
-    vs fused 10.50/9.27 ms).  Orientation of the reduce axis matters:
-    ``reduce_trailing`` puts the summed-over m axis last (faster when
-    size > m)."""
+    XLA's TPU scatter serializes row updates; a broadcast ``idx == iota``
+    mask fused into a reduction runs on the VPU without materializing the
+    [m, size] mask.  ``reduce_trailing=True`` (sum over the m axis held in
+    lanes) measures fastest whenever size <= m — the regime this path is
+    dispatched for (4.3 ms vs scatter's 8.2 ms at [16, 16384 -> 2048])."""
     iota = jnp.arange(size, dtype=idx.dtype)
     d = val.shape[-1]
     if reduce_trailing:
@@ -237,8 +208,23 @@ def _segment_rows_fused(idx: Array, val: Array, size: int,
     return jnp.stack(outs, axis=-1)                        # [..., size, D]
 
 
+def _segment_rows_onehot(idx: Array, val: Array, size: int) -> Array:
+    """Scatter-add as a one-hot matmul on the MXU.
+
+    ``onehot(idx)^T @ val`` turns the scatter into a dense matmul; with
+    f32 one-hots at HIGHEST precision the result is f32-grade (rel err
+    ~2e-7).  Fastest formulation when size > m — the sparse orientation
+    where the compare-and-reduce's [size, m] sweep is tall
+    (9.1 ms vs fused 13.4 / scatter 14.1 at [16, 2048 -> 16384])."""
+    oh = jax.nn.one_hot(idx, size, dtype=val.dtype)        # [..., m, size]
+    return jnp.einsum("...ms,...md->...sd", oh, val,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def _segment_rows(idx: Array, val: Array, size: int) -> Array:
-    """Batched scatter-add with a TPU fast path."""
+    """Batched scatter-add, dispatched by backend and orientation
+    (measurements in benchmarks/ and the docstrings above)."""
     try:
         on_tpu = jax.default_backend() == "tpu"
     except RuntimeError:
@@ -246,7 +232,9 @@ def _segment_rows(idx: Array, val: Array, size: int) -> Array:
     if not on_tpu:
         return _scatter_add_batched(idx, val, size)
     m = idx.shape[-1]
-    return _segment_rows_fused(idx, val, size, reduce_trailing=size > m)
+    if size > m:
+        return _segment_rows_onehot(idx, val, size)
+    return _segment_rows_fused(idx, val, size, reduce_trailing=True)
 
 
 def _nn_distance_bwd(res, cots):
@@ -267,25 +255,17 @@ def _nn_distance_bwd(res, cots):
 
 
 nn_distance.defvjp(_nn_distance_fwd, _nn_distance_bwd)
-nn_distance_lowp.defvjp(_nn_distance_lowp_fwd, _nn_distance_bwd)
 
 
 def chamfer_raw(x: Array, y: Array,
                 x_mask: Optional[Array] = None,
-                y_mask: Optional[Array] = None,
-                lowp: bool = False):
-    """``nn_distance`` with optional masks (defaults to all-valid).
-
-    ``lowp=True`` selects neighbors on a bfloat16 distance matrix (half the
-    HBM traffic of the op) while returning exact f32 distances at the
-    selected pairs — see ``nn_distance_lowp``.
-    """
+                y_mask: Optional[Array] = None):
+    """``nn_distance`` with optional masks (defaults to all-valid)."""
     if x_mask is None:
         x_mask = _ones_mask(x)
     if y_mask is None:
         y_mask = _ones_mask(y)
-    fn = nn_distance_lowp if lowp else nn_distance
-    return fn(x, y, x_mask.astype(x.dtype), y_mask.astype(y.dtype))
+    return nn_distance(x, y, x_mask.astype(x.dtype), y_mask.astype(y.dtype))
 
 
 def masked_mean(v: Array, mask: Optional[Array], axis=-1) -> Array:
@@ -298,15 +278,14 @@ def masked_mean(v: Array, mask: Optional[Array], axis=-1) -> Array:
 
 def chamfer_distance(x: Array, y: Array,
                      x_mask: Optional[Array] = None,
-                     y_mask: Optional[Array] = None,
-                     lowp: bool = False) -> Array:
+                     y_mask: Optional[Array] = None) -> Array:
     """Per-batch Chamfer: mean_n d(x_n, y) + mean_m d(y_m, x), squared L2.
 
     Matches the reference training loss contract
     (``loss/chamfer_loss.py:5-10``): per-direction mean over points, summed
     over directions.  Returns [B].
     """
-    d1, _, d2, _ = chamfer_raw(x, y, x_mask, y_mask, lowp=lowp)
+    d1, _, d2, _ = chamfer_raw(x, y, x_mask, y_mask)
     return masked_mean(d1, x_mask) + masked_mean(d2, y_mask)
 
 
