@@ -122,25 +122,3 @@ def test_residual_retrieval_respects_mask(rng):
     loss, _ = residual_retrieval_loss(x, deformed, mask, residuals)
     np.testing.assert_allclose(loss, 1.0, rtol=1e-5)  # nn is the valid point
 
-
-def test_combined_assembly_symmetry_matches_separate(rng):
-    from ured_tpu.losses.losses import (
-        assembly_and_symmetry_chamfer,
-        assembly_chamfer_loss,
-        symmetry_loss,
-    )
-
-    b, p, n, m, nt = 3, 4, 16, 12, 64
-    deformed = jnp.asarray(rng.normal(size=(b, p, n, 3)), jnp.float32)
-    target = jnp.asarray(rng.normal(size=(b, nt, 3)), jnp.float32)
-    tp = jnp.asarray(rng.normal(size=(b, p, m, 3)), jnp.float32)
-    tpv = jnp.asarray(rng.integers(0, 2, size=(b, p, m)), jnp.float32)
-    pm = jnp.asarray([[1, 1, 0, 0], [1, 1, 1, 0], [1, 0, 0, 0]], jnp.float32)
-
-    full_c, part_c, ref_c = assembly_and_symmetry_chamfer(
-        deformed, target, tp, tpv, pm)
-    full_s, part_s = assembly_chamfer_loss(deformed, target, tp, tpv, pm)
-    ref_s, _ = symmetry_loss(deformed, target, tp, tpv, pm)
-    np.testing.assert_allclose(full_c, full_s, atol=1e-6)
-    np.testing.assert_allclose(part_c, part_s, atol=1e-6)
-    np.testing.assert_allclose(ref_c, ref_s, atol=1e-6)

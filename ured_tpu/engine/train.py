@@ -28,7 +28,6 @@ import optax
 
 from ured_tpu.config import URedConfig
 from ured_tpu.losses import (
-    assembly_and_symmetry_chamfer,
     assembly_chamfer_loss,
     contrastive_loss,
     pc_consistency,
@@ -133,15 +132,9 @@ def compute_losses(cfg: URedConfig, batch: Dict[str, Array],
         losses["param_loss"] = l
         total += cfg.use_param_loss * l
 
-    both_cd = cfg.use_chamfer_loss > 0 and cfg.use_symmetry_loss > 0
-    if both_cd:
-        # one stacked NN pass covers the assembly AND reflected assembly
-        cd_full, cd_part, ref_full = assembly_and_symmetry_chamfer(
-            deformed, x, tgt_parts, tgt_parts_valid, part_mask)
     if cfg.use_chamfer_loss > 0:
-        if not both_cd:
-            cd_full, cd_part = assembly_chamfer_loss(
-                deformed, x, tgt_parts, tgt_parts_valid, part_mask)
+        cd_full, cd_part = assembly_chamfer_loss(
+            deformed, x, tgt_parts, tgt_parts_valid, part_mask)
         losses["cd_loss_full"] = cd_full
         losses["cd_loss_part"] = cd_part
         total += cfg.use_chamfer_loss * cd_full
@@ -155,9 +148,8 @@ def compute_losses(cfg: URedConfig, batch: Dict[str, Array],
         total += cfg.use_contrast_loss * l
 
     if cfg.use_symmetry_loss > 0:
-        if not both_cd:
-            ref_full, _ = symmetry_loss(
-                deformed, x, tgt_parts, tgt_parts_valid, part_mask)
+        ref_full, _ = symmetry_loss(
+            deformed, x, tgt_parts, tgt_parts_valid, part_mask)
         losses["ref_cd_loss_full"] = ref_full
         total += cfg.use_symmetry_loss * ref_full
 

@@ -8,7 +8,6 @@ train step.
 """
 
 from ured_tpu.losses.losses import (
-    assembly_and_symmetry_chamfer,
     assembly_chamfer_loss,
     contrastive_loss,
     pc_consistency,

@@ -73,39 +73,6 @@ def symmetry_loss(deformed: Array, target: Array,
                                  target_parts, target_parts_valid, part_mask)
 
 
-def assembly_and_symmetry_chamfer(
-        deformed: Array, target: Array, target_parts: Array,
-        target_parts_valid: Array,
-        part_mask: Array) -> Tuple[Array, Array, Array]:
-    """``assembly_chamfer_loss`` + the symmetry full-chamfer in ONE pass.
-
-    The assembly and the x-reflected assembly are stacked on the batch axis
-    so the step's largest NN instance ([B, P*n vs N]) runs once at 2B
-    instead of twice at B — identical math (per-sample NN is independent of
-    batching), fewer kernel dispatches.  Returns
-    (full_loss, part_loss, symmetry_full_loss); the reference's symmetry
-    term uses only the full component (``train.py:305-312``).
-    """
-    b, p, n, _ = deformed.shape
-    flat, flat_mask = _flatten_parts(deformed, part_mask)
-    ref_flat = get_symmetric(deformed).reshape(b, p * n, 3)
-    stack = jnp.concatenate([flat, ref_flat], axis=0)
-    starget = jnp.concatenate([target, target], axis=0)
-    smask = jnp.concatenate([flat_mask, flat_mask], axis=0)
-    full2 = chamfer_distance(stack, starget, smask, None)       # [2B]
-    full, ref_full = full2[:b], full2[b:]
-
-    m = target_parts.shape[2]
-    d = deformed.reshape(b * p, n, 3)
-    t = target_parts.reshape(b * p, m, 3)
-    d_mask = jnp.broadcast_to(part_mask[..., None], (b, p, n)).reshape(b * p, n)
-    t_mask = target_parts_valid.reshape(b * p, m)
-    per_part = chamfer_distance(d, t, d_mask, t_mask).reshape(b, p)
-    per_part = jnp.where(part_mask > 0, per_part, 0.0)
-    part = masked_mean(per_part, part_mask)                     # [B]
-    return jnp.mean(full), jnp.mean(part), jnp.mean(ref_full)
-
-
 def contrastive_loss(tgt_part_f: Array, src_f: Array, valid: Array,
                      logit_scale: float = 1.0 / 0.07,
                      axis_name: Optional[str] = None) -> Array:
