@@ -138,3 +138,81 @@ def test_pair_archive_reused_not_rebuilt(fixture_tree):
     valid = c.label_table >= 0
     assert valid.any()
     assert c.label_table[valid].max() < c.src_points.shape[0]
+
+
+def test_vis_cli_on_fixture_tree(fixture_tree, tmp_path):
+    from ured_tpu.engine import vis as vis_mod
+
+    cfg_path = str(tmp_path / "cfg_vis.json")
+    d = _cfg_dict(fixture_tree, tmp_path / "log_vis", "test")
+    with open(cfg_path, "w") as f:
+        json.dump(d, f)
+
+    out_dir = str(tmp_path / "vis_out")
+    metrics = vis_mod.main(["vis", cfg_path, out_dir])
+    assert np.isfinite(metrics["best_full_cd_loss"])
+    exported = os.listdir(out_dir)
+    assert exported, "vis CLI must export per-target assemblies"
+    # mesh payloads present in the fixture tree -> OBJ assemblies
+    assert any(n.endswith((".obj", ".ply")) for n in exported)
+
+
+def test_pairs_cli_on_fixture_tree(fixture_tree, capsys):
+    import json as _json
+    import tempfile
+
+    from ured_tpu.data import pairs as pairs_mod
+
+    with tempfile.TemporaryDirectory() as td:
+        cfg_path = os.path.join(td, "cfg.json")
+        with open(cfg_path, "w") as f:
+            _json.dump(_cfg_dict(fixture_tree, td, "train"), f)
+        pairs_mod.main(["pairs", cfg_path])
+    out = capsys.readouterr().out
+    assert "pair archive:" in out
+
+
+def test_clustering_cli_on_fixture_tree(fixture_tree, capsys):
+    import json as _json
+    import tempfile
+
+    from ured_tpu.data import clustering as cl_mod
+
+    with tempfile.TemporaryDirectory() as td:
+        cfg_path = os.path.join(td, "cfg.json")
+        with open(cfg_path, "w") as f:
+            _json.dump(_cfg_dict(fixture_tree, td, "train"), f)
+        cl_mod.main(["cl", cfg_path, "2"])
+    out = capsys.readouterr().out
+    assert "representatives" in out
+    assert os.path.exists(str(fixture_tree / "dedup_index.pickle"))
+
+
+def test_preprocessing_cli(tmp_path, capsys):
+    import json as _json
+
+    hier = {"id": 0, "label": "chair",
+            "children": [{"id": 1, "label": "chair_seat", "objs": ["1"]}]}
+    hp = str(tmp_path / "hier.json")
+    with open(hp, "w") as f:
+        _json.dump(hier, f)
+    # obj-dir layout: one mesh file per leaf node id
+    od = tmp_path / "objs"
+    os.makedirs(str(od))
+    v, f_ = _box_mesh(np.ones(3), np.zeros(3))
+    with open(str(od / "1.obj"), "w") as fh:
+        for x, y, z in v:
+            fh.write(f"v {x} {y} {z}\n")
+        for a, b, c in f_ + 1:
+            fh.write(f"f {a} {b} {c}\n")
+    specs = [{"model_id": "m0", "hier_json": hp, "obj_dir": str(od)}]
+    sp = str(tmp_path / "specs.json")
+    with open(sp, "w") as f:
+        _json.dump(specs, f)
+    out_dir = str(tmp_path / "out")
+
+    from ured_tpu.data import preprocessing as prep_mod
+
+    prep_mod.main(["prep", sp, out_dir, "1"])
+    assert "processed 1 shapes" in capsys.readouterr().out
+    assert os.listdir(out_dir)

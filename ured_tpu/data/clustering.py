@@ -105,3 +105,40 @@ def save_dedup_index(path: str, index: np.ndarray) -> None:
 def load_dedup_index(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         return np.asarray(pickle.load(f))
+
+
+def main(argv):
+    """``python -m ured_tpu.data.clustering config.json [n_clusters]`` — the
+    role of reference ``engine/simple_cl.py``: spectral-cluster the
+    source-part similarity matrix, refine, and save the deduplicated
+    representative index (``results.pickle`` analogue)."""
+    from ured_tpu.config import URedConfig
+    from ured_tpu.data import corpus
+    from ured_tpu.data.partnet import load_sources
+    from ured_tpu.data.pairs import source_pair_matrix
+
+    cfg = URedConfig.from_json(argv[1]) if len(argv) > 1 else URedConfig()
+    if not corpus.real_data_available(cfg):
+        print("no PartNet-layout tree at the configured paths; nothing to do")
+        return
+    source_db = load_sources(cfg)
+    dist_src = source_db.dist_src
+    if dist_src is None:
+        dist_src = source_pair_matrix(source_db.points)
+    n_clusters = int(argv[2]) if len(argv) > 2 else max(
+        2, dist_src.shape[0] // 4)
+    index, labels = deduplicate_sources(
+        dist_src, n_clusters,
+        cohesion_threshold=cfg.extras.get("cohesion_threshold"))
+    import os
+
+    out = os.path.join(cfg.base_dir, "dedup_index.pickle")
+    save_dedup_index(out, index)
+    print(f"dedup: {dist_src.shape[0]} sources -> {len(index)} "
+          f"representatives ({out})")
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(sys.argv)

@@ -161,3 +161,35 @@ def save_pair_archive(path: str, matrices: Dict[str, np.ndarray]) -> None:
 def load_pair_archive(path: str) -> Dict[str, np.ndarray]:
     with np.load(path) as z:
         return {k: z[k] for k in z.files}
+
+
+def main(argv):
+    """``python -m ured_tpu.data.pairs config.json`` — the role of reference
+    ``engine/generate_pair.py``: build the target-part x source DCD/CD
+    distance matrices (the retrieval pseudo-GT) as one batched on-device
+    job and save the pair archive next to the data."""
+    from ured_tpu.config import URedConfig
+    from ured_tpu.data import corpus
+
+    cfg = URedConfig.from_json(argv[1]) if len(argv) > 1 else URedConfig()
+    if not corpus.real_data_available(cfg):
+        print("no PartNet-layout tree at the configured paths; nothing to do")
+        return
+    cls = corpus.dataset_class(cfg)
+    dataset = cls.from_h5(cfg)
+    from ured_tpu.data.partnet import load_sources
+
+    source_db = load_sources(cfg)
+    path = str(cfg.extras.get("pair_archive",
+                              corpus.pair_archive_path(cfg)))
+    archive = corpus.build_pair_archive(
+        cfg, dataset.points, dataset.labels, source_db.points,
+        cache_path=path)
+    print(f"pair archive: {path} "
+          f"({ {k: tuple(v.shape) for k, v in archive.items()} })")
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(sys.argv)

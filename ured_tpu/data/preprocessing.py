@@ -311,3 +311,29 @@ def process_corpus(shape_specs: List[dict], out_dir: str,
         save_parts(out_dir, spec["model_id"], parts)
 
     Parallel(n_jobs=n_jobs)(delayed(one)(s) for s in shape_specs)
+
+
+def main(argv):
+    """``python -m ured_tpu.data.preprocessing specs.json out_dir [n_jobs]``
+    — the role of reference ``engine/run_preprocessing.py``: each entry of
+    ``specs.json`` is {model_id, hier_json, partnet_json?, obj_dir?}; every
+    shape becomes per-part h5 files (A-matrices, sampled points,
+    connectivity, keypoints, constraint projections) under ``out_dir``."""
+    import json
+
+    if len(argv) < 3:
+        print(__doc__)
+        print("usage: python -m ured_tpu.data.preprocessing "
+              "specs.json out_dir [n_jobs]")
+        return
+    with open(argv[1]) as f:
+        specs = json.load(f)
+    n_jobs = int(argv[3]) if len(argv) > 3 else 8
+    process_corpus(specs, argv[2], n_jobs=n_jobs)
+    print(f"processed {len(specs)} shapes -> {argv[2]}")
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(sys.argv)

@@ -113,3 +113,54 @@ def retrieval_qa(top_idx: np.ndarray, query_sems: np.ndarray,
         "top1_semantic_mismatch_rate": float(mismatch[:, 0].mean()),
         "queries": int(top.shape[0]),
     }
+
+
+def main(argv):
+    """``python -m ured_tpu.engine.vis [config.json] [out_dir]`` — the role
+    of reference ``engine/vis.py``: load checkpoint, retrieve + deform every
+    target, export per-target OBJ/PLY assemblies, print the metric pair.
+    PartNet-layout data (with source meshes) when the config points at it;
+    synthetic corpus fallback (points-only export)."""
+    from ured_tpu.engine.train import init_state, make_optimizer
+
+    cfg = URedConfig.from_json(argv[1]) if len(argv) > 1 else URedConfig(
+        batch_size=8)
+    out_dir = argv[2] if len(argv) > 2 else cfg.log_path + "/vis"
+    cfg.extras.setdefault("synthetic_targets", 16)
+
+    from ured_tpu.data import corpus, synthetic
+
+    if corpus.real_data_available(cfg):
+        data = corpus.from_partnet(cfg, mesh=True)  # meshes for OBJ export
+        source_db = data.source_db
+    else:
+        print("no PartNet tree found; visualizing the synthetic corpus")
+        data = corpus.from_synthetic(synthetic.generate(
+            num_targets=int(cfg.extras.get("synthetic_targets", 16)),
+            num_sources=int(cfg.extras.get("synthetic_sources", 64)),
+            n_points=cfg.num_target_points,
+            points_per_part=cfg.num_part_points,
+            max_parts=cfg.MAX_NUM_PARTS, seed=cfg.seed))
+        source_db = data
+
+    model = URED(cfg)
+    init_batch = {k: jnp.asarray(v) for k, v in data.make_batch(
+        np.arange(min(cfg.batch_size, len(data.points)))).items()}
+    tx, _ = make_optimizer(cfg, 1)
+    state = init_state(cfg, model, tx, init_batch, seed=cfg.seed)
+    if cfg.init_dm:
+        from ured_tpu.utils.checkpoint import restore_groups
+
+        state = restore_groups(cfg.dm_model_path, state, groups=("dm",))
+    if cfg.init_re:
+        from ured_tpu.utils.checkpoint import restore_groups
+
+        state = restore_groups(cfg.re_model_path, state, groups=("re",))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return run_vis(cfg, model, variables, data, source_db, out_dir)
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(sys.argv)

@@ -7,14 +7,14 @@ plus the 2D/5D variants) and the missing ``Shape_Measure.ChamferLoss`` whose
 contract is squared-L2 per-direction costs (usage: reference
 ``loss/chamfer_loss.py:5-10``).
 
-Design: neighbor *selection* is a per-direction matmul+argmin that XLA fuses
-end-to-end (the [N, M] matrix never reaches HBM), and the returned distances
-are recomputed exactly in f32 at the selected pairs — so values and gradients
-are exact for the chosen pairing while selection resolves near-ties at the
-matmul unit's native precision.  A custom VJP propagates gradients only
-through the selected pairs — identical to the reference scatter-add backward
-(``chamfer3D.cu:155-174``) — so nothing quadratic is rematerialized for the
-backward pass.
+Design: each direction is a matmul+min/argmin pair that XLA fuses
+end-to-end — the [N, M] distance matrix never reaches HBM.  Values and
+selection carry the matmul unit's native precision (f32-exact on CPU,
+bf16-pass window on the TPU MXU — see ``_nn_both_directions``);
+``exact_sqdist_at`` recomputes exact per-point values when a caller needs
+them.  A custom VJP propagates gradients only through the selected pairs —
+identical to the reference scatter-add backward (``chamfer3D.cu:155-174``)
+— and is always the exact gradient of the exact distance at those pairs.
 
 All functions take optional validity masks (1 = valid), which is how the
 reference's ragged per-sample slicing (``loss/chamfer_loss.py:13-27``) becomes
@@ -67,43 +67,49 @@ def _ones_mask(p: Array) -> Array:
     return jnp.ones(p.shape[:-1], dtype=p.dtype)
 
 
-def _argmin_direction(a, b, b_mask):
-    """Index of the nearest valid ``b`` point for every ``a`` point.
+def _min_direction(a, b, b_mask):
+    """(distance to, index of) the nearest valid ``b`` per ``a`` point.
 
-    Each direction builds its own distance matrix with a SINGLE argmin
-    consumer: XLA then fuses the matmul into the reduction and the [N, M]
-    matrix is never materialized in HBM.  Sharing one matrix between both
-    directions (or raising the matmul precision) forces materialization and
-    measures 2x slower at training shapes ([16, 16384 vs 2048]: 6.0 ms for
-    two fused passes vs 11.9/13.9 ms shared/HIGHEST).  Selection therefore
-    resolves near-ties at the matmul unit's native precision (f32-exact on
-    CPU; bf16-pass window ~0.4% rel on TPU MXU).
+    Each direction builds its own distance matrix whose only consumers are
+    the fused min/argmin reductions: XLA folds the matmul into the
+    reduction and the [N, M] matrix is never materialized in HBM.  Sharing
+    one matrix between both directions (or raising the matmul precision)
+    forces materialization and measures 2x slower at training shapes
+    ([16, 16384 vs 2048]: 6.0 ms for two fused passes vs 11.9/13.9 ms
+    shared/HIGHEST).
     """
     d = pairwise_sqdist(a, b, precision=jax.lax.Precision.DEFAULT)
     d = d + (_BIG * (1.0 - b_mask))[..., None, :]
-    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+    return jnp.min(d, axis=-1), jnp.argmin(d, axis=-1).astype(jnp.int32)
 
 
-def _exact_sqdist_at(a, b, idx, b_mask):
+def exact_sqdist_at(a, b, idx, b_mask=None):
     """Exact f32 squared distance from each ``a`` point to its selected
-    ``b`` neighbor; rows whose selected neighbor is invalid (possible only
-    when a row has zero valid candidates) keep the +_BIG penalty."""
+    ``b`` neighbor (one [.., N] gather — ~10 ms at [16, 16384] on v5e, so
+    the default forward does NOT pay it; call this when per-point values
+    must be exact rather than matmul-native precision).  Rows whose
+    selected neighbor is invalid keep the +_BIG penalty."""
     b_sel = jnp.take_along_axis(b, idx[..., None], axis=-2)
     dist = jnp.sum((a - b_sel) ** 2, axis=-1)
+    if b_mask is None:
+        return dist
     sel_valid = jnp.take_along_axis(b_mask, idx, axis=-1)
     return dist + _BIG * (1.0 - sel_valid)
 
 
 def _nn_both_directions(x, y, x_mask, y_mask):
-    """Bidirectional NN: fused argmin selection + exact distances at the
-    selected pairs (see ``_argmin_direction``/``_exact_sqdist_at``).  The
-    returned distances are f32-exact for the selected pairing regardless of
-    the selection unit's precision — the contract downstream losses and the
-    custom VJP rely on."""
-    idx1 = _argmin_direction(x, y, y_mask)
-    idx2 = _argmin_direction(y, x, x_mask)
-    dist1 = _exact_sqdist_at(x, y, idx1, y_mask)
-    dist2 = _exact_sqdist_at(y, x, idx2, x_mask)
+    """Bidirectional NN via two independently-fused matmul+min passes.
+
+    Values and selection carry the matmul unit's native precision:
+    f32-exact on CPU; on the TPU MXU the default (fastest) matmul runs
+    bf16 passes, giving an absolute error window ~(|x|^2+|y|^2)*2^-8 on
+    the distance VALUES and near-tie selection ambiguity in the same
+    window.  Gradients are unaffected — the custom VJP differentiates the
+    exact distance at the selected pair.  Callers needing exact per-point
+    values use ``exact_sqdist_at`` (costs a gather; means over points see
+    the error average out to ~0.05%)."""
+    dist1, idx1 = _min_direction(x, y, y_mask)
+    dist2, idx2 = _min_direction(y, x, x_mask)
     return dist1, idx1, dist2, idx2
 
 
@@ -145,9 +151,9 @@ def nn_distance(x: Array, y: Array, x_mask: Array, y_mask: Array):
     neighbors; distances *from* invalid points are still produced and must be
     excluded by the caller's reduction (the masks gate gradients here).
 
-    Distances are exact f32 at the selected pairs; selection resolves
-    near-ties at the matmul unit's native precision (see
-    ``_argmin_direction``).  With ``URED_NN_PALLAS=1`` and tile-aligned
+    Distance values and selection carry the matmul unit's native
+    precision (see ``_nn_both_directions``); use ``exact_sqdist_at`` for
+    exact per-point values.  With ``URED_NN_PALLAS=1`` and tile-aligned
     shapes the forward instead runs the fused Pallas kernel
     (``chamfer_pallas.py``).
 
