@@ -58,3 +58,21 @@ def test_roundtrip_and_group_restore(tmp_path):
                    ["Dense_0"]["kernel"]),
         np.asarray(dm_only.params["re_order_decoder_full"]["residual_net"]
                    ["Dense_0"]["kernel"]))
+
+
+def test_restore_accepts_step_directory(tmp_path):
+    """dm_model_path may name the concrete step dir, like the reference's
+    .pth paths."""
+    import jax.numpy as jnp
+
+    from ured_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    state = {"w": jnp.arange(4, dtype=jnp.float32)}
+    root = str(tmp_path / "checkpoints")
+    save_checkpoint(root, state, step=7)
+    out = restore_checkpoint(str(tmp_path / "checkpoints" / "7"),
+                             {"w": jnp.zeros(4, jnp.float32)})
+    assert np.allclose(np.asarray(out["w"]), np.arange(4))

@@ -124,3 +124,39 @@ def test_corpus_eval_matches_per_batch():
                   src_db)
     np.testing.assert_allclose(np.asarray(out["cd_full"][0]),
                                np.asarray(single["cd_full"]), rtol=1e-5)
+
+
+def test_bn_recalibration_recovers_collapsed_stats():
+    """Poisoned (collapsed) BatchNorm running variances amplify eval-time
+    input shift into 1e8-scale decoder outputs; one recalibration pass over
+    the eval distribution must restore finite, sane metrics."""
+    import jax
+
+    from ured_tpu.engine.evaluate import evaluate
+
+    cfg = _tiny_cfg()
+    data = synthetic.generate(num_targets=8, num_sources=6, n_points=64,
+                              points_per_part=16, max_parts=8, seed=0)
+    model = URED(cfg)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic.make_batch(data, np.arange(4), 8).items()}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    # poison every decoder BN: tiny variance + shifted mean
+    def poison(path, leaf):
+        keys = jax.tree_util.keystr(path)
+        if "param_decoder_full" in keys and "var" in keys:
+            return jnp.full_like(leaf, 1e-22)
+        if "param_decoder_full" in keys and "mean" in keys:
+            return leaf + 3.0
+        return leaf
+
+    bs = jax.tree_util.tree_map_with_path(poison, variables["batch_stats"])
+    poisoned = {"params": variables["params"], "batch_stats": bs}
+
+    cfg.extras["ndcg_sigma"] = 0.1
+    bad = evaluate(cfg, model, poisoned, data, batch_size=4)
+    cfg.extras["bn_recalibration_passes"] = 1
+    good = evaluate(cfg, model, poisoned, data, batch_size=4)
+    assert good["best_full_cd_loss"] < bad["best_full_cd_loss"]
+    assert good["best_full_cd_loss"] < 1e3

@@ -174,3 +174,19 @@ def test_positional_encoding(rng):
     v = m.init(jax.random.PRNGKey(0), kpts, side)
     out = m.apply(v, kpts, side)
     assert out.shape == (2, 10, 16)
+
+
+def test_pointnet2_part_seg_variants(rng):
+    from ured_tpu.models.pointnet import PointNet2PartSeg
+
+    xyz = jnp.asarray(rng.normal(size=(2, 128, 3)), jnp.float32)
+    cls_label = jnp.asarray([3, 7], jnp.int32)
+    for msg in (False, True):
+        model = PointNet2PartSeg(num_part_classes=10, msg=msg)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, xyz, cls_label, train=False)
+        out = model.apply(variables, xyz, cls_label, train=False)
+        assert out.shape == (2, 128, 10)
+        # log-probs normalize
+        np.testing.assert_allclose(
+            np.asarray(jnp.exp(out).sum(-1)), 1.0, atol=1e-4)

@@ -207,6 +207,97 @@ def build_source_db(cfg: URedConfig, model: URED, variables,
     return {"codes": codes, "mats": src_mats, "points": src_points}
 
 
+def recalibrate_batch_stats(cfg: URedConfig, model: URED, variables,
+                            batches, src_db, num_passes: int = 1):
+    """Re-estimate BatchNorm running statistics over the EVAL input
+    distribution (retrieved candidates), returning updated variables.
+
+    Why: the deformation decoder trains on DCD pseudo-label pairs but
+    evaluates on cosine-retrieved candidates.  Features whose training
+    batch variance collapses (near-constant activations — e.g. from the
+    padded part nodes of a small corpus) leave running variances of
+    ~1e-22; any eval-time input shift is then amplified by
+    1/sqrt(var+eps) ~ 300x per BatchNorm, cascading to 1e8-scale decoder
+    outputs.  One adaptation pass through the eval computation with
+    mutable batch stats (classic BN re-estimation) grounds the statistics
+    in the distribution actually being evaluated.  The reference carries
+    the identical fragility (torch BatchNorm1d running stats,
+    ``attention_utils.py:62``) — this is an opt-in hardening, enabled via
+    config extra ``bn_recalibration_passes``.
+    """
+    p = cfg.MAX_NUM_PARTS
+    momentum = 0.9  # every BatchNorm in models/ uses momentum=0.9
+
+    @jax.jit
+    def calib_step(variables, batch, src_db):
+        """One eval-distribution forward with mutable BN stats; returns the
+        *implied per-batch statistics*, recovered exactly from flax's
+        ``new = m*old + (1-m)*batch`` update so a single pass fully
+        replaces collapsed stats instead of nudging them by (1-m)."""
+        v = variables
+        x = batch["x"]
+        b = x.shape[0]
+        (tgt_code, per_point), mut = model.apply(
+            v, x, batch["tgt_sem"], train=True,
+            method=model.encode_target, mutable=["batch_stats"])
+        v = {"params": v["params"], "batch_stats": mut["batch_stats"]}
+        part_f, part_mask, _ = part_segment_mean(
+            per_point, batch["labels"], p)
+        _, idx = retrieve_topk(part_f.reshape(b * p, -1),
+                               src_db["codes"], k=1)
+        src_codes = src_db["codes"][idx[:, 0].reshape(b, p)]
+        _, mut = model.apply(v, tgt_code, src_codes, None, train=True,
+                             method=model.decode_params,
+                             mutable=["batch_stats"])
+        v = {"params": v["params"], "batch_stats": mut["batch_stats"]}
+        _, mut = model.apply(v, per_point, part_f, batch["labels"],
+                             train=True, method=model.retrieval_residuals,
+                             mutable=["batch_stats"])
+        # modules not touched by this pass keep new == old -> implied == old
+        return jax.tree.map(
+            lambda o, n: (n - momentum * o) / (1.0 - momentum),
+            variables["batch_stats"], mut["batch_stats"])
+
+    del num_passes  # the exact recovery converges in one sweep
+
+    def to_moments(tree):
+        """{mean, var} -> {mean, E[x^2]} so batches combine correctly."""
+        if isinstance(tree, dict) and {"mean", "var"} <= set(tree):
+            return {"mean": tree["mean"],
+                    "var": tree["var"] + tree["mean"] ** 2}
+        if isinstance(tree, dict):
+            return {k: to_moments(v) for k, v in tree.items()}
+        return tree
+
+    def from_moments(tree):
+        """population var = E[x^2] - E[x]^2 (includes the inter-batch
+        spread of the means, which plain variance-averaging drops), then a
+        per-layer RELATIVE variance floor: features that are dead/constant
+        over the calibration set (var ~ 0) would otherwise normalize any
+        later deviation by sqrt(eps) — a ~300x amplifier per BatchNorm that
+        cascades through the decoder.  Flooring at 1e-2 of the layer's
+        maximum variance caps a dead feature's slope at 10x the liveliest
+        feature's, which bounds the cascade without disturbing live
+        features."""
+        if isinstance(tree, dict) and {"mean", "var"} <= set(tree):
+            var = jnp.maximum(tree["var"] - tree["mean"] ** 2, 0.0)
+            var = jnp.maximum(var, 1e-2 * jnp.max(var))
+            return {"mean": tree["mean"], "var": var}
+        if isinstance(tree, dict):
+            return {k: from_moments(v) for k, v in tree.items()}
+        return tree
+
+    acc = None
+    count = 0
+    for batch in batches:
+        implied = to_moments(calib_step(variables, batch, src_db))
+        acc = implied if acc is None else jax.tree.map(
+            jnp.add, acc, implied)
+        count += 1
+    stats = from_moments(jax.tree.map(lambda a: a / count, acc))
+    return {"params": variables["params"], "batch_stats": stats}
+
+
 def evaluate(cfg: URedConfig, model: URED, variables, data,
              batch_size: Optional[int] = None,
              ndcg_sigma: Optional[float] = None) -> Dict[str, float]:
@@ -233,6 +324,22 @@ def evaluate(cfg: URedConfig, model: URED, variables, data,
         cfg, model, variables,
         jnp.asarray(data.src_points), jnp.asarray(data.src_sems),
         jnp.asarray(data.src_mats))
+
+    n_cal = int(cfg.extras.get("bn_recalibration_passes", 0))
+    if n_cal > 0:
+        cal_batches = [{
+            "x": jnp.asarray(data.points[i:i + bs]),
+            "labels": jnp.asarray(data.labels[i:i + bs]),
+            "tgt_sem": jnp.asarray(data.semantics[i:i + bs]),
+        } for i in range(0, num, bs)]
+        variables = recalibrate_batch_stats(
+            cfg, model, variables, cal_batches, src_db, num_passes=n_cal)
+        # source codes depend on the src encoder's stats; rebuild
+        src_db = build_source_db(
+            cfg, model, variables,
+            jnp.asarray(data.src_points), jnp.asarray(data.src_sems),
+            jnp.asarray(data.src_mats))
+
     step = jax.jit(make_eval_step(cfg, model))
 
     cds, res, ndcgs = [], [], []

@@ -22,6 +22,7 @@ from ured_tpu.models.legacy import (
 from ured_tpu.models.pointnet import (
     PointNet2ClsMSG,
     PointNet2ClsSSG,
+    PointNet2PartSeg,
     PointNet2SegSSG,
     PointNetCls,
     PointNetSeg,

@@ -257,3 +257,55 @@ class PointNet2SegSSG(nn.Module):
             xyz, l1_xyz, None, l1_up, train=train)
         logits = nn.Dense(self.num_classes)(l0_up)
         return jax.nn.log_softmax(logits, -1)
+
+
+class PointNet2PartSeg(nn.Module):
+    """PointNet++ part segmentation with shape-class conditioning
+    (reference ``network/pointnet/pointnet2_part_seg_ssg.py`` /
+    ``_msg.py``): the shape's one-hot class label is broadcast per point
+    and concatenated with the coordinates before the final propagation.
+    ``msg=True`` uses the multi-scale grouping trunk."""
+
+    num_part_classes: int = 50
+    num_shape_classes: int = 16
+    msg: bool = False
+
+    @nn.compact
+    def __call__(self, xyz: Array, cls_label: Array,
+                 train: bool = True) -> Array:
+        """xyz: [B, N, 3]; cls_label: [B] int or [B, num_shape_classes]
+        one-hot.  Returns [B, N, num_part_classes] log-probs."""
+        b, n, _ = xyz.shape
+        if cls_label.ndim == 1:
+            cls_label = jax.nn.one_hot(cls_label, self.num_shape_classes)
+        if self.msg:
+            l1_xyz, l1_f = SetAbstractionMSG(
+                256, (0.1, 0.2, 0.4), (16, 32, 64),
+                ((32, 32, 64), (64, 64, 128), (64, 96, 128)))(
+                    xyz, None, train=train)
+            l2_xyz, l2_f = SetAbstractionMSG(
+                64, (0.2, 0.4, 0.8), (32, 64, 64),
+                ((64, 64, 128), (128, 128, 256), (128, 128, 256)))(
+                    l1_xyz, l1_f, train=train)
+        else:
+            l1_xyz, l1_f = SetAbstraction(256, 0.2, 32, (64, 64, 128))(
+                xyz, None, train=train)
+            l2_xyz, l2_f = SetAbstraction(64, 0.4, 64, (128, 128, 256))(
+                l1_xyz, l1_f, train=train)
+        _, l3_f = SetAbstraction(None, None, None, (256, 512, 1024),
+                                 group_all=True)(l2_xyz, l2_f, train=train)
+        l2_up = FeaturePropagation((256, 256))(
+            l2_xyz, l2_xyz[:, :1], l2_f,
+            jnp.broadcast_to(l3_f, (b, 1, l3_f.shape[-1])), train=train)
+        l1_up = FeaturePropagation((256, 128))(
+            l1_xyz, l2_xyz, l1_f, l2_up, train=train)
+        cls_per_point = jnp.broadcast_to(
+            cls_label[:, None, :], (b, n, cls_label.shape[-1]))
+        l0_in = jnp.concatenate([cls_per_point, xyz], axis=-1)
+        l0_up = FeaturePropagation((128, 128, 128))(
+            xyz, l1_xyz, l0_in, l1_up, train=train)
+        h = nn.relu(nn.BatchNorm(use_running_average=not train)(
+            nn.Dense(128)(l0_up)))
+        h = nn.Dropout(0.5, deterministic=not train)(h)
+        logits = nn.Dense(self.num_part_classes)(h)
+        return jax.nn.log_softmax(logits, -1)

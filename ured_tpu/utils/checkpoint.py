@@ -50,7 +50,17 @@ def latest_step(path: str) -> Optional[int]:
 
 
 def restore_checkpoint(path: str, target, step: Optional[int] = None):
-    """Restore a full TrainState (shape/dtype template = ``target``)."""
+    """Restore a full TrainState (shape/dtype template = ``target``).
+
+    ``path`` is the checkpoints root; pointing at a specific step directory
+    (``.../checkpoints/59``) also works — the reference's ``dm_model_path``
+    names a concrete file, so the CLI configs map naturally either way."""
+    import os
+
+    base = os.path.basename(os.path.normpath(path))
+    if step is None and base.isdigit():
+        path = os.path.dirname(os.path.normpath(path))
+        step = int(base)
     mgr = _mgr(path)
     step = step if step is not None else mgr.latest_step()
     if step is None:
