@@ -23,16 +23,19 @@ class _Source:
     / ``SyntheticData``-shaped object that gathers sources itself.
     """
 
-    def __init__(self, dataset, source_db=None):
+    def __init__(self, dataset, source_db=None, light: bool = False):
         self.dataset = dataset
         self.source_db = source_db
+        self.light = light
 
     def __len__(self) -> int:
         return len(self.dataset)
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         idx = np.asarray([i])
-        if self.source_db is not None:
+        if self.light:
+            batch = self.dataset.make_light_batch(idx)
+        elif self.source_db is not None:
             batch = self.dataset.make_batch(idx, self.source_db)
         else:
             batch = self.dataset.make_batch(idx)
@@ -42,14 +45,15 @@ class _Source:
 def make_input_pipeline(dataset, source_db, batch_size: int,
                         seed: int = 0, shuffle: bool = True,
                         num_epochs: Optional[int] = None,
-                        worker_count: int = 0
+                        worker_count: int = 0,
+                        light: bool = False
                         ) -> Iterator[Dict[str, np.ndarray]]:
     """Batched iterator over (target, pseudo-labeled source) records.
 
     Grain path: MapDataset source -> shuffle -> batch -> (optional workers).
     Fallback: in-process numpy batching with identical semantics.
     """
-    src = _Source(dataset, source_db)
+    src = _Source(dataset, source_db, light=light)
     try:
         import grain.python as grain
 

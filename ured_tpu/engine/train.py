@@ -189,7 +189,20 @@ def make_train_step(cfg: URedConfig, model: URED, tx,
         total, metrics = compute_losses(cfg, batch, out, epoch, axis_name)
         return total, (metrics, mutated["batch_stats"])
 
-    def train_step(state: TrainState, batch: Dict[str, Array], epoch: Array):
+    def train_step(state: TrainState, batch: Dict[str, Array], epoch: Array,
+                   src_arrays: Optional[Dict[str, Array]] = None):
+        """``src_arrays`` (points [S, n, 3], sems [S], mats [S, 3n, 6])
+        keeps the source DB resident on device: the batch then carries only
+        ``src_idx`` [B, P] and the gather happens here in-program — the
+        host ships ~100 KB of indices per step instead of ~20 MB of
+        gathered A-matrices over PCIe/tunnel (the reference re-gathers on
+        host every step, ``dataset_utils.py:791-820``)."""
+        if src_arrays is not None and "src_idx" in batch:
+            si = batch["src_idx"]
+            batch = dict(batch)
+            batch["src_points"] = src_arrays["points"][si]
+            batch["src_sem"] = src_arrays["sems"][si].astype(jnp.int32)
+            batch["src_mat"] = src_arrays["mats"][si]
         grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, epoch)
         if axis_name is not None:
@@ -310,38 +323,65 @@ def train(cfg: URedConfig, num_steps: Optional[int] = None,
     step_fn = jax.jit(make_train_step(cfg, model, tx))
     augment = make_augment_fn(cfg)
 
+    # device-resident source DB (default): the full source tensors ship to
+    # the device once and every batch carries only src_idx
+    resident = bool(cfg.extras.get("resident_sources", True)) \
+        and hasattr(data, "make_light_batch")
+    src_arrays = None
+    if resident:
+        src_arrays = {"points": jnp.asarray(data.src_points),
+                      "sems": jnp.asarray(data.src_sems),
+                      "mats": jnp.asarray(data.src_mats)}
+
     total_steps = num_steps if num_steps is not None \
         else cfg.epochs * steps_per_epoch
     epochs_needed = -(-total_steps // steps_per_epoch)  # ceil
     batches = make_input_pipeline(
         data, None, bs, seed=cfg.seed, shuffle=True,
-        num_epochs=epochs_needed,
+        num_epochs=epochs_needed, light=resident,
         worker_count=int(cfg.extras.get("pipeline_workers", 0)))
 
     key = jax.random.PRNGKey(cfg.seed)
     metrics = {}
+    pending = None  # (step, device metrics) read one step late: the
+    # device->host metric transfer then overlaps the next step's execution
+    # instead of serializing after it (the per-step float() reads were the
+    # largest wall-clock term after the device time itself)
     t0 = time.perf_counter()
+
+    def flush(pending):
+        step, dev = pending
+        host = jax.device_get(dev)          # one batched transfer
+        vals = {k: float(v) for k, v in host.items()}
+        if writer is not None:
+            writer.write(step, vals)
+        if step % log_every == 0:
+            dt = time.perf_counter() - t0
+            epoch = step // steps_per_epoch
+            print(f"step {step} epoch {epoch} "
+                  f"loss {vals['all_loss']:.4f} "
+                  f"cd {vals.get('cd_loss_full', 0):.4f} "
+                  f"({dt:.1f}s)")
+
     for step, batch in enumerate(batches):
         if step >= total_steps:
             break
         epoch = step // steps_per_epoch
         key, sub = jax.random.split(key)
         batch = augment(batch, sub)
-        state, metrics = step_fn(state, batch, jnp.asarray(epoch))
-        if writer is not None:
-            writer.write(step, {k: float(v) for k, v in metrics.items()})
-        if step % log_every == 0:
-            dt = time.perf_counter() - t0
-            print(f"step {step} epoch {epoch} "
-                  f"loss {float(metrics['all_loss']):.4f} "
-                  f"cd {float(metrics.get('cd_loss_full', 0)):.4f} "
-                  f"({dt:.1f}s)")
+        state, metrics = step_fn(state, batch, jnp.asarray(epoch),
+                                 src_arrays)
+        if pending is not None:
+            flush(pending)
+        pending = (step, metrics)
         end_of_epoch = (step + 1) % steps_per_epoch == 0
         if checkpoint_dir and end_of_epoch \
                 and (epoch + 1) % cfg.save_epoch == 0:
             from ured_tpu.utils.checkpoint import save_checkpoint
 
             save_checkpoint(checkpoint_dir, state, step=epoch)
+    if pending is not None:
+        flush(pending)
     return state, metrics
 
 
