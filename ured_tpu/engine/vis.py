@@ -52,6 +52,20 @@ def run_vis(cfg: URedConfig, model: URED, variables, data, source_db,
 
     db = build_source_db(cfg, model, variables, src_points, src_sems,
                          src_mats)
+
+    n_cal = int(cfg.extras.get("bn_recalibration_passes", 0))
+    if n_cal > 0:
+        from ured_tpu.engine.evaluate import recalibrate_batch_stats
+
+        cal_batches = [{
+            "x": jnp.asarray(data.points[i:i + bs]),
+            "labels": jnp.asarray(data.labels[i:i + bs]),
+            "tgt_sem": jnp.asarray(data.semantics[i:i + bs]),
+        } for i in range(0, n, bs)]
+        variables = recalibrate_batch_stats(
+            cfg, model, variables, cal_batches, db, num_passes=n_cal)
+        db = build_source_db(cfg, model, variables, src_points, src_sems,
+                             src_mats)
     step = jax.jit(make_eval_step(cfg, model))
 
     cds, res = [], []
