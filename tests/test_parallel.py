@@ -260,3 +260,46 @@ def test_sharded_retrieval_uneven_k_vs_shard():
     # top-(db*kk) winners are recoverable; for k <= shard*db they match
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
                                atol=1e-5)
+
+
+def test_sharded_step_resident_sources_db_sharded():
+    """Resident-source training on a (dp=4, db=2) mesh: the source DB lives
+    sharded over the db axis, batches carry only src_idx, and the GSPMD
+    cross-shard gather reproduces the pre-gathered batch's step exactly."""
+    from ured_tpu.data import corpus
+
+    cfg = _tiny_cfg()
+    data = synthetic.generate(num_targets=8, num_sources=8, n_points=64,
+                              points_per_part=16, max_parts=8, seed=0)
+    c = corpus.from_synthetic(data)
+    full = {k: jnp.asarray(v) for k, v in c.make_batch(np.arange(8)).items()}
+    light = {k: jnp.asarray(v)
+             for k, v in c.make_light_batch(np.arange(8)).items()}
+    src_arrays = {"points": jnp.asarray(c.src_points),
+                  "sems": jnp.asarray(c.src_sems),
+                  "mats": jnp.asarray(c.src_mats)}
+
+    tx, _ = make_optimizer(cfg, steps_per_epoch=1)
+    model = URED(cfg)
+    state = init_state(cfg, model, tx, full)
+
+    mesh = make_mesh(dp=4, db=2)
+    step, place = make_sharded_train_step(cfg, model, tx, mesh,
+                                          explicit=True,
+                                          resident_sources=True)
+    st, bt, ep, sa = place(state, light, 0, src_arrays)
+    # the source table really is sharded over db
+    shard_shapes = {s.data.shape for s in sa["mats"].addressable_shards}
+    assert all(sh[0] == c.src_mats.shape[0] // 2 for sh in shard_shapes)
+    s_light, m_light = step(st, bt, ep, sa)
+
+    step2, place2 = make_sharded_train_step(cfg, model, tx, mesh,
+                                            explicit=True)
+    st2, bt2, ep2 = place2(state, full, 0)
+    s_full, m_full = step2(st2, bt2, ep2)
+
+    np.testing.assert_allclose(float(m_light["all_loss"]),
+                               float(m_full["all_loss"]), rtol=1e-5)
+    k1 = np.asarray(s_light.params["target_encoder_full"]["fc"]["kernel"])
+    k2 = np.asarray(s_full.params["target_encoder_full"]["fc"]["kernel"])
+    np.testing.assert_allclose(k1, k2, atol=1e-5)
