@@ -68,7 +68,12 @@ def run_vis(cfg: URedConfig, model: URED, variables, data, source_db,
                              src_mats)
     step = jax.jit(make_eval_step(cfg, model))
 
-    cds, res = [], []
+    from ured_tpu.utils.metrics import dcd_relevance, ndcg_from_topk
+
+    ndcg_sigma = float(cfg.extras.get("ndcg_sigma", 0.001))
+    pair_dist = getattr(data, "pair_dist", None)
+
+    cds, res, ndcgs = [], [], []
     for i in range(0, n, bs):
         batch = {
             "x": jnp.asarray(data.points[i:i + bs]),
@@ -78,6 +83,18 @@ def run_vis(cfg: URedConfig, model: URED, variables, data, source_db,
         out = step(variables, batch, db)
         cds.append(np.asarray(out["cd_full"]))
         res.append(np.asarray(out["re_score"]))
+        if pair_dist is not None:
+            # NDCG@40 vs DCD relevance, like the reference vis loop
+            # (vis.py:206,293 -> dataset_utils.py:1165-1176)
+            sim_topk = np.asarray(out["sim_topk"])
+            pmask = np.asarray(out["part_mask"])
+            for b in range(sim_topk.shape[0]):
+                for pi in range(sim_topk.shape[1]):
+                    if pmask[b, pi] <= 0:
+                        continue
+                    rel = dcd_relevance(pair_dist[i + b, pi],
+                                        sigma=ndcg_sigma)
+                    ndcgs.append(ndcg_from_topk(rel, sim_topk[b, pi], k=40))
 
         top1 = np.asarray(out["top1"])
         params = np.asarray(out["params"])
@@ -107,8 +124,12 @@ def run_vis(cfg: URedConfig, model: URED, variables, data, source_db,
         "best_full_cd_loss": float(np.mean(np.concatenate(cds))),
         "best_full_re_loss": float(np.mean(np.concatenate(res))),
     }
-    print("vis: best full cd loss {best_full_cd_loss:.6f} | "
-          "best full re loss {best_full_re_loss:.6f}".format(**metrics))
+    if ndcgs:
+        metrics["ndcg@40"] = float(np.mean(ndcgs))
+    print("vis: best full cd loss {:.6f} | best full re loss {:.6f}{}".format(
+        metrics["best_full_cd_loss"], metrics["best_full_re_loss"],
+        " | ndcg@40 {:.4f}".format(metrics["ndcg@40"])
+        if "ndcg@40" in metrics else ""))
     return metrics
 
 
@@ -155,6 +176,7 @@ def main(argv):
             n_points=cfg.num_target_points,
             points_per_part=cfg.num_part_points,
             max_parts=cfg.MAX_NUM_PARTS, seed=cfg.seed))
+        data.extras["origin"] = "synthetic"
         source_db = data
 
     model = URED(cfg)
@@ -171,6 +193,9 @@ def main(argv):
 
         state = restore_groups(cfg.re_model_path, state, groups=("re",))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if data.extras.get("origin") == "synthetic":
+        # synthetic pair distances live on a ~0.1 scale, not DCD's 0.001
+        cfg.extras.setdefault("ndcg_sigma", 0.1)
     return run_vis(cfg, model, variables, data, source_db, out_dir)
 
 
