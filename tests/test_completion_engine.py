@@ -92,3 +92,12 @@ def test_completion_trains_adversarial():
         model_name="pcn", epochs=1, batch_size=4, num_train=4,
         n_points=64, seed=0, adversarial=True)
     assert np.isfinite(best["dcd"])
+
+
+def test_completion_cli(tmp_path, monkeypatch, capsys):
+    from ured_tpu.engine import completion as comp_mod
+
+    monkeypatch.chdir(tmp_path)
+    comp_mod.main(["completion", "pcn", "1"])
+    out = capsys.readouterr().out
+    assert "best:" in out and "dcd" in out

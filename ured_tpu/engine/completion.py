@@ -299,3 +299,25 @@ def train_completion(model_name: str = "pcn", epochs: int = 2,
               f"loss {float(loss):.4f} dcd {m['dcd']:.4f} "
               f"cd_t {m['cd_t']:.4f} f1 {m['f1']:.4f}")
     return state.replace(params=best_params), best
+
+
+def main(argv):
+    """``python -m ured_tpu.engine.completion [pcn|vrcnet] [epochs]
+    [--gan]`` — the role of the vendored DCD benchmark trainer
+    (``Density_aware_Chamfer_Distance/train.py``): train a completion model
+    with the varying-alpha DCD loss, warmup+decay LR schedule, per-epoch
+    dcd/cd_t/f1 validation meters, and best-checkpoint saving.  Runs on a
+    procedural synthetic pair corpus when no dataset is configured."""
+    model_name = argv[1] if len(argv) > 1 else "pcn"
+    epochs = int(argv[2]) if len(argv) > 2 else 10
+    adversarial = "--gan" in argv
+    _, best = train_completion(model_name=model_name, epochs=epochs,
+                               adversarial=adversarial,
+                               checkpoint_dir=f"workspace/{model_name}_ckpt")
+    print("best:", {k: round(float(v), 4) for k, v in best.items()})
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(sys.argv)
