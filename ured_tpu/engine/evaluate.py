@@ -294,6 +294,8 @@ def recalibrate_batch_stats(cfg: URedConfig, model: URED, variables,
         acc = implied if acc is None else jax.tree.map(
             jnp.add, acc, implied)
         count += 1
+    if count == 0:
+        return variables
     stats = from_moments(jax.tree.map(lambda a: a / count, acc))
     return {"params": variables["params"], "batch_stats": stats}
 
