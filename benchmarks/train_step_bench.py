@@ -1,6 +1,6 @@
 """Train-step timing across precision variants on the real chip.
 
-Run:  python benchmarks/train_step_bench.py [f32 bf16 lowp bf16+lowp ...]
+Run:  python -m benchmarks.train_step_bench [f32 bf16 nochamfer reconly ...]
 
 Methodology: lax.scan of 50 steps inside one program + device->host value
 read (see bench.py).  Round-2 baseline: f32 113.9 ms, bf16 93.5 ms.

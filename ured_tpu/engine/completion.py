@@ -308,9 +308,10 @@ def main(argv):
     with the varying-alpha DCD loss, warmup+decay LR schedule, per-epoch
     dcd/cd_t/f1 validation meters, and best-checkpoint saving.  Runs on a
     procedural synthetic pair corpus when no dataset is configured."""
-    model_name = argv[1] if len(argv) > 1 else "pcn"
-    epochs = int(argv[2]) if len(argv) > 2 else 10
     adversarial = "--gan" in argv
+    pos = [a for a in argv[1:] if not a.startswith("--")]
+    model_name = pos[0] if pos else "pcn"
+    epochs = int(pos[1]) if len(pos) > 1 else 10
     _, best = train_completion(model_name=model_name, epochs=epochs,
                                adversarial=adversarial,
                                checkpoint_dir=f"workspace/{model_name}_ckpt")

@@ -272,13 +272,15 @@ def recalibrate_batch_stats(cfg: URedConfig, model: URED, variables,
     def from_moments(tree):
         """population var = E[x^2] - E[x]^2 (includes the inter-batch
         spread of the means, which plain variance-averaging drops), then a
-        per-layer RELATIVE variance floor: features that are dead/constant
-        over the calibration set (var ~ 0) would otherwise normalize any
-        later deviation by sqrt(eps) — a ~300x amplifier per BatchNorm that
-        cascades through the decoder.  Flooring at 1e-2 of the layer's
-        maximum variance caps a dead feature's slope at 10x the liveliest
-        feature's, which bounds the cascade without disturbing live
-        features."""
+        per-layer RELATIVE variance floor at 1e-2 of the layer's maximum
+        variance: features that are dead/constant over the calibration set
+        (var ~ 0) would otherwise normalize any later deviation by
+        sqrt(eps) — a ~300x amplifier per BatchNorm that cascades through
+        the decoder.  The max-relative floor does compress channels >100x
+        quieter than the loudest, but measured on a trained checkpoint it
+        is what keeps the cascade bounded (cd 0.007 vs 0.37 with a
+        median-relative floor that leaves small-variance channels free to
+        amplify); this path hardens metric evaluation, not training."""
         if isinstance(tree, dict) and {"mean", "var"} <= set(tree):
             var = jnp.maximum(tree["var"] - tree["mean"] ** 2, 0.0)
             var = jnp.maximum(var, 1e-2 * jnp.max(var))
@@ -300,6 +302,54 @@ def recalibrate_batch_stats(cfg: URedConfig, model: URED, variables,
     return {"params": variables["params"], "batch_stats": stats}
 
 
+
+def eval_batches(data, bs: int, num: int):
+    """Yield (offset, device batch) pairs — one batch resident at a time."""
+    for i in range(0, num, bs):
+        yield i, {
+            "x": jnp.asarray(data.points[i:i + bs]),
+            "labels": jnp.asarray(data.labels[i:i + bs]),
+            "tgt_sem": jnp.asarray(data.semantics[i:i + bs]),
+        }
+
+
+def maybe_recalibrate(cfg: URedConfig, model: URED, variables, data,
+                      src_db, bs: int, num: int):
+    """Apply ``bn_recalibration_passes`` (if configured) and rebuild the
+    source DB with the adapted statistics.  Shared by evaluate() and the
+    vis pipeline."""
+    n_cal = int(cfg.extras.get("bn_recalibration_passes", 0))
+    if n_cal <= 0:
+        return variables, src_db
+    variables = recalibrate_batch_stats(
+        cfg, model, variables,
+        (b for _, b in eval_batches(data, bs, num)), src_db,
+        num_passes=n_cal)
+    src_db = build_source_db(
+        cfg, model, variables,
+        jnp.asarray(data.src_points), jnp.asarray(data.src_sems),
+        jnp.asarray(data.src_mats))
+    return variables, src_db
+
+
+def ndcg_for_batch(out, pair_dist, offset: int, sigma: float,
+                   k: int = 40):
+    """NDCG@k scores for one eval-step output against the pair archive's
+    relevance rows (reference ``dataset_utils.py:1165-1176``)."""
+    from ured_tpu.utils.metrics import dcd_relevance, ndcg_from_topk
+
+    scores = []
+    sim_topk = np.asarray(out["sim_topk"])
+    mask = np.asarray(out["part_mask"])
+    for b in range(sim_topk.shape[0]):
+        for pi in range(sim_topk.shape[1]):
+            if mask[b, pi] <= 0:
+                continue
+            rel = dcd_relevance(pair_dist[offset + b, pi], sigma=sigma)
+            scores.append(ndcg_from_topk(rel, sim_topk[b, pi], k=k))
+    return scores
+
+
 def evaluate(cfg: URedConfig, model: URED, variables, data,
              batch_size: Optional[int] = None,
              ndcg_sigma: Optional[float] = None) -> Dict[str, float]:
@@ -314,8 +364,6 @@ def evaluate(cfg: URedConfig, model: URED, variables, data,
     ``data/pairs.py``).  ``ndcg_sigma`` (or cfg extra ``ndcg_sigma``)
     overrides sigma for corpora whose distances live on a different scale.
     """
-    from ured_tpu.utils.metrics import dcd_relevance, ndcg_from_topk
-
     if ndcg_sigma is None:
         ndcg_sigma = float(cfg.extras.get("ndcg_sigma", 0.001))
 
@@ -327,31 +375,14 @@ def evaluate(cfg: URedConfig, model: URED, variables, data,
         jnp.asarray(data.src_points), jnp.asarray(data.src_sems),
         jnp.asarray(data.src_mats))
 
-    n_cal = int(cfg.extras.get("bn_recalibration_passes", 0))
-    if n_cal > 0:
-        cal_batches = [{
-            "x": jnp.asarray(data.points[i:i + bs]),
-            "labels": jnp.asarray(data.labels[i:i + bs]),
-            "tgt_sem": jnp.asarray(data.semantics[i:i + bs]),
-        } for i in range(0, num, bs)]
-        variables = recalibrate_batch_stats(
-            cfg, model, variables, cal_batches, src_db, num_passes=n_cal)
-        # source codes depend on the src encoder's stats; rebuild
-        src_db = build_source_db(
-            cfg, model, variables,
-            jnp.asarray(data.src_points), jnp.asarray(data.src_sems),
-            jnp.asarray(data.src_mats))
+    variables, src_db = maybe_recalibrate(
+        cfg, model, variables, data, src_db, bs, num)
 
     step = jax.jit(make_eval_step(cfg, model))
 
     cds, res, ndcgs = [], [], []
     cl_correct, cl_total = 0, 0
-    for i in range(0, num, bs):
-        batch = {
-            "x": jnp.asarray(data.points[i:i + bs]),
-            "labels": jnp.asarray(data.labels[i:i + bs]),
-            "tgt_sem": jnp.asarray(data.semantics[i:i + bs]),
-        }
+    for i, batch in eval_batches(data, bs, num):
         out = step(variables, batch, src_db)
         cds.append(np.asarray(out["cd_full"]))
         res.append(np.asarray(out["re_score"]))
@@ -377,17 +408,9 @@ def evaluate(cfg: URedConfig, model: URED, variables, data,
                         if top1[b, pi] in near:
                             cl_correct += 1
 
-        sim_topk = np.asarray(out["sim_topk"])          # [B, P, Kr]
-        mask = np.asarray(out["part_mask"])
         pair_dist = getattr(data, "pair_dist", None)
         if pair_dist is not None:
-            for b in range(sim_topk.shape[0]):
-                t = i + b
-                for pi in range(sim_topk.shape[1]):
-                    if mask[b, pi] <= 0:
-                        continue
-                    rel = dcd_relevance(pair_dist[t, pi], sigma=ndcg_sigma)
-                    ndcgs.append(ndcg_from_topk(rel, sim_topk[b, pi], k=40))
+            ndcgs.extend(ndcg_for_batch(out, pair_dist, i, ndcg_sigma))
 
     metrics = {
         "best_full_cd_loss": float(np.mean(np.concatenate(cds))),

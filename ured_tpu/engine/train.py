@@ -256,11 +256,12 @@ def make_augment_fn(cfg: URedConfig):
     return augment
 
 
-def resolve_corpus(cfg: URedConfig, data=None):
+def resolve_corpus(cfg: URedConfig, data=None, mesh: bool = False):
     """Data resolution for the CLI path: explicit object > PartNet-layout
     tree pointed at by the config (targets h5 + datasplits + source h5s,
     with the pair archive built on device if missing) > hermetic synthetic
-    corpus (fallback)."""
+    corpus (fallback).  ``mesh=True`` loads source mesh payloads (for the
+    vis/export pipeline)."""
     from ured_tpu.data import corpus, synthetic
 
     if data is not None:
@@ -269,7 +270,7 @@ def resolve_corpus(cfg: URedConfig, data=None):
         return data
     if corpus.real_data_available(cfg):
         print(f"loading PartNet corpus from {cfg.base_dir}")
-        c = corpus.from_partnet(cfg)
+        c = corpus.from_partnet(cfg, mesh=mesh)
         c.extras["origin"] = "partnet"
         return c
     print("no PartNet tree found; training on the synthetic corpus")

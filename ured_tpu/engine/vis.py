@@ -52,49 +52,27 @@ def run_vis(cfg: URedConfig, model: URED, variables, data, source_db,
 
     db = build_source_db(cfg, model, variables, src_points, src_sems,
                          src_mats)
+    from ured_tpu.engine.evaluate import (
+        eval_batches,
+        maybe_recalibrate,
+        ndcg_for_batch,
+    )
 
-    n_cal = int(cfg.extras.get("bn_recalibration_passes", 0))
-    if n_cal > 0:
-        from ured_tpu.engine.evaluate import recalibrate_batch_stats
-
-        cal_batches = [{
-            "x": jnp.asarray(data.points[i:i + bs]),
-            "labels": jnp.asarray(data.labels[i:i + bs]),
-            "tgt_sem": jnp.asarray(data.semantics[i:i + bs]),
-        } for i in range(0, n, bs)]
-        variables = recalibrate_batch_stats(
-            cfg, model, variables, cal_batches, db, num_passes=n_cal)
-        db = build_source_db(cfg, model, variables, src_points, src_sems,
-                             src_mats)
+    variables, db = maybe_recalibrate(cfg, model, variables, data, db,
+                                      bs, n)
     step = jax.jit(make_eval_step(cfg, model))
-
-    from ured_tpu.utils.metrics import dcd_relevance, ndcg_from_topk
 
     ndcg_sigma = float(cfg.extras.get("ndcg_sigma", 0.001))
     pair_dist = getattr(data, "pair_dist", None)
 
     cds, res, ndcgs = [], [], []
-    for i in range(0, n, bs):
-        batch = {
-            "x": jnp.asarray(data.points[i:i + bs]),
-            "labels": jnp.asarray(data.labels[i:i + bs]),
-            "tgt_sem": jnp.asarray(data.semantics[i:i + bs]),
-        }
+    for i, batch in eval_batches(data, bs, n):
         out = step(variables, batch, db)
         cds.append(np.asarray(out["cd_full"]))
         res.append(np.asarray(out["re_score"]))
         if pair_dist is not None:
             # NDCG@40 vs DCD relevance, like the reference vis loop
-            # (vis.py:206,293 -> dataset_utils.py:1165-1176)
-            sim_topk = np.asarray(out["sim_topk"])
-            pmask = np.asarray(out["part_mask"])
-            for b in range(sim_topk.shape[0]):
-                for pi in range(sim_topk.shape[1]):
-                    if pmask[b, pi] <= 0:
-                        continue
-                    rel = dcd_relevance(pair_dist[i + b, pi],
-                                        sigma=ndcg_sigma)
-                    ndcgs.append(ndcg_from_topk(rel, sim_topk[b, pi], k=40))
+            ndcgs.extend(ndcg_for_batch(out, pair_dist, i, ndcg_sigma))
 
         top1 = np.asarray(out["top1"])
         params = np.asarray(out["params"])
@@ -163,21 +141,10 @@ def main(argv):
     out_dir = argv[2] if len(argv) > 2 else cfg.log_path + "/vis"
     cfg.extras.setdefault("synthetic_targets", 16)
 
-    from ured_tpu.data import corpus, synthetic
+    from ured_tpu.engine.train import resolve_corpus
 
-    if corpus.real_data_available(cfg):
-        data = corpus.from_partnet(cfg, mesh=True)  # meshes for OBJ export
-        source_db = data.source_db
-    else:
-        print("no PartNet tree found; visualizing the synthetic corpus")
-        data = corpus.from_synthetic(synthetic.generate(
-            num_targets=int(cfg.extras.get("synthetic_targets", 16)),
-            num_sources=int(cfg.extras.get("synthetic_sources", 64)),
-            n_points=cfg.num_target_points,
-            points_per_part=cfg.num_part_points,
-            max_parts=cfg.MAX_NUM_PARTS, seed=cfg.seed))
-        data.extras["origin"] = "synthetic"
-        source_db = data
+    data = resolve_corpus(cfg, mesh=True)  # meshes for OBJ export
+    source_db = data.source_db if data.source_db is not None else data
 
     model = URED(cfg)
     init_batch = {k: jnp.asarray(v) for k, v in data.make_batch(

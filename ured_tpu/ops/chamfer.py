@@ -302,8 +302,14 @@ def calc_cd(output: Array, gt: Array,
     """cd_p / cd_t metrics, reference ``utils_v2/model_utils.py:calc_cd:53-70``.
 
     Note the reference calls ``cham_loss(gt, output)`` so dist1 is gt->output.
+
+    The f-score thresholds squared distances at 1e-4 — far below the
+    selection matmul's native-precision window — so distances are
+    recomputed exactly at the selected pairs.
     """
-    dist1, idx1, dist2, idx2 = chamfer_raw(gt, output)
+    _, idx1, _, idx2 = chamfer_raw(gt, output)
+    dist1 = exact_sqdist_at(gt, output, idx1)
+    dist2 = exact_sqdist_at(output, gt, idx2)
     cd_p = (jnp.sqrt(dist1).mean(-1) + jnp.sqrt(dist2).mean(-1)) / 2.0
     cd_t = dist1.mean(-1) + dist2.mean(-1)
     res = [cd_p, cd_t]

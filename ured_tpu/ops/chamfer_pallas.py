@@ -104,7 +104,7 @@ def _nn_kernel(x_ref, y_ref, xm_ref, ym_ref,
 # low IDX_BITS mantissa bits replaced by the index — turns each direction
 # into a single ``min`` whose value decodes to (distance, winner).  The
 # mantissa truncation perturbs selection only between candidates closer than
-# ~2^-(23-IDX_BITS) relative (0.05% at 14 bits) — the same near-tie class the
+# ~2^-(23-IDX_BITS) relative (2^-9 ~ 0.2% at 14 bits) — the same near-tie class the
 # bf16 selection path accepts — and the wrapper recomputes exact f32
 # distances at the selected pairs, so the op satisfies the same
 # selection-precision contract as ``ured_tpu.ops.chamfer``'s default path.

@@ -13,7 +13,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ured_tpu.ops.chamfer import chamfer_raw
+from ured_tpu.ops.chamfer import chamfer_raw, exact_sqdist_at
 
 Array = jax.Array
 
@@ -49,7 +49,12 @@ def calc_dcd(x: Array, gt: Array,
         frac_21 = n_gt / n_x
 
     # Reference: cham_loss(gt, output) -> dist1 over gt points (indices into x).
-    dist1, idx1, dist2, idx2 = chamfer_raw(gt, x, gt_mask, x_mask)
+    _, idx1, _, idx2 = chamfer_raw(gt, x, gt_mask, x_mask)
+    # DCD is VALUE-sensitive: exp(-alpha*d) with alpha ~ 1000 cannot absorb
+    # the selection matmul's native-precision window, so recompute exact f32
+    # distances at the selected pairs (cheap gathers at DCD's shapes)
+    dist1 = exact_sqdist_at(gt, x, idx1, x_mask)
+    dist2 = exact_sqdist_at(x, gt, idx2, gt_mask)
 
     cd_p = (jnp.sqrt(dist1).mean(-1) + jnp.sqrt(dist2).mean(-1)) / 2.0
     cd_t = dist1.mean(-1) + dist2.mean(-1)

@@ -51,7 +51,8 @@ def make_sharded_train_step(cfg: URedConfig, model: URED, tx, mesh: Mesh,
     dp_sharding = NamedSharding(mesh, P("dp"))
 
     def gather_sources(batch, src_arrays):
-        if src_arrays is None or "src_idx" not in batch:
+        if not resident_sources or src_arrays is None \
+                or "src_idx" not in batch:
             return batch
         si = batch["src_idx"]
         out = dict(batch)
@@ -90,7 +91,6 @@ def make_sharded_train_step(cfg: URedConfig, model: URED, tx, mesh: Mesh,
 
     repl = NamedSharding(mesh, P())
     dp = NamedSharding(mesh, P("dp"))
-    db0 = NamedSharding(mesh, P("db"))
 
     def place(state, batch, epoch, src_arrays=None):
         state = jax.device_put(state, repl)
@@ -98,6 +98,9 @@ def make_sharded_train_step(cfg: URedConfig, model: URED, tx, mesh: Mesh,
         epoch = jax.device_put(jnp.asarray(epoch), repl)
         if src_arrays is None:
             return state, batch, epoch
+        # constructed lazily so dp-only meshes (no "db" axis) keep working
+        # when resident sources are unused
+        db0 = NamedSharding(mesh, P("db"))
         src_arrays = {k: jax.device_put(jnp.asarray(v), db0)
                       for k, v in src_arrays.items()}
         return state, batch, epoch, src_arrays

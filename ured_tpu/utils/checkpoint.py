@@ -58,7 +58,11 @@ def restore_checkpoint(path: str, target, step: Optional[int] = None):
     import os
 
     base = os.path.basename(os.path.normpath(path))
-    if step is None and base.isdigit():
+    if step is None and base.isdigit() and (
+            os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA"))
+            or os.path.exists(os.path.join(path, "default"))):
+        # a digit-named dir holding checkpoint contents is a step dir; a
+        # digit-named checkpoints ROOT (e.g. a date) is left alone
         path = os.path.dirname(os.path.normpath(path))
         step = int(base)
     mgr = _mgr(path)
