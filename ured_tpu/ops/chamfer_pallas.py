@@ -1,11 +1,13 @@
-"""Pallas TPU kernel for bidirectional nearest neighbors.
+"""Pallas TPU kernels for bidirectional nearest neighbors.
 
-The XLA path (``ured_tpu.ops.chamfer``) materializes the [B, N, M] distance
-matrix in HBM (~270 MB at training shapes) — correct but bandwidth-bound.
-This kernel is the TPU analogue of the reference's shared-memory-tiled CUDA
-kernel (``chamfer3D.cu:12-134``): per (batch, x-tile) grid step, the
-[TN, M] distance block is produced on the MXU (``x2 + y2 - 2 x @ y^T``) and
-immediately reduced — the full matrix never touches HBM.
+The default XLA path (``ured_tpu.ops.chamfer``) fuses each direction's
+matmul into its min/argmin reduction, so the [B, N, M] matrix never
+reaches HBM there either — and it measures faster than these kernels at
+every live shape (NOTES.md).  The kernels stay as the explicit,
+fusion-independent implementation (XLA's choices can change) and as the
+TPU analogue of the reference's shared-memory-tiled CUDA kernel
+(``chamfer3D.cu:12-134``): per (batch, x-tile) grid step, the [TN, M]
+distance block is produced and immediately reduced in VMEM.
 
 Row minima (x -> nearest y) write straight to that tile's output block.
 Column minima (y -> nearest x) accumulate in VMEM scratch across the
