@@ -204,13 +204,23 @@ def build_source_db(cfg: URedConfig, model: URED, variables,
 
     codes, _ = encode_source_db(model, variables, src_points, src_sems,
                                 batch_size=chunk)
-    return {"codes": codes, "mats": src_mats, "points": src_points}
+    return {"codes": codes, "mats": src_mats, "points": src_points,
+            "sems": src_sems}
 
 
 def recalibrate_batch_stats(cfg: URedConfig, model: URED, variables,
-                            batches, src_db, num_passes: int = 1):
+                            batches, src_db, num_passes: int = 1,
+                            momentum: float = 0.9):
     """Re-estimate BatchNorm running statistics over the EVAL input
     distribution (retrieved candidates), returning updated variables.
+
+    NOTE: this is test-time adaptation — the statistics are re-estimated on
+    the same distribution the metrics are computed from, so enabled-mode
+    numbers are not protocol-comparable to the reference's eval (see
+    MIGRATION.md).  ``momentum`` must match the model's BatchNorm momentum
+    (every BatchNorm inside URED uses 0.9 — ``models/ffn.py``; the PointNet
+    zoo uses flax's 0.99 default, so pass it explicitly there): the exact
+    batch-stat recovery ``(new - m*old)/(1-m)`` is wrong otherwise.
 
     Why: the deformation decoder trains on DCD pseudo-label pairs but
     evaluates on cosine-retrieved candidates.  Features whose training
@@ -226,7 +236,13 @@ def recalibrate_batch_stats(cfg: URedConfig, model: URED, variables,
     config extra ``bn_recalibration_passes``.
     """
     p = cfg.MAX_NUM_PARTS
-    momentum = 0.9  # every BatchNorm in models/ uses momentum=0.9
+    if num_passes > 1:
+        import warnings
+
+        warnings.warn(
+            "bn_recalibration_passes > 1 behaves identically to 1: the "
+            "exact batch-stat recovery converges in a single sweep",
+            stacklevel=2)
 
     @jax.jit
     def calib_step(variables, batch, src_db):
@@ -257,8 +273,6 @@ def recalibrate_batch_stats(cfg: URedConfig, model: URED, variables,
         return jax.tree.map(
             lambda o, n: (n - momentum * o) / (1.0 - momentum),
             variables["batch_stats"], mut["batch_stats"])
-
-    del num_passes  # the exact recovery converges in one sweep
 
     def to_moments(tree):
         """{mean, var} -> {mean, E[x^2]} so batches combine correctly."""
@@ -325,10 +339,12 @@ def maybe_recalibrate(cfg: URedConfig, model: URED, variables, data,
         cfg, model, variables,
         (b for _, b in eval_batches(data, bs, num)), src_db,
         num_passes=n_cal)
+    # rebuild from the db's OWN tensors — ``data`` may be a dataset without
+    # src_* attributes (the vis path resolves sources separately), and
+    # re-deriving from it could silently pick a different source set
     src_db = build_source_db(
         cfg, model, variables,
-        jnp.asarray(data.src_points), jnp.asarray(data.src_sems),
-        jnp.asarray(data.src_mats))
+        src_db["points"], src_db["sems"], src_db["mats"])
     return variables, src_db
 
 

@@ -198,8 +198,9 @@ def make_train_step(cfg: URedConfig, model: URED, tx,
         gathered A-matrices over PCIe/tunnel (the reference re-gathers on
         host every step, ``dataset_utils.py:791-820``)."""
         if src_arrays is not None and "src_idx" in batch:
-            si = batch["src_idx"]
             batch = dict(batch)
+            si = batch.pop("src_idx")  # keep batch keys identical to the
+            # pre-gathered and sharded paths (which also pop it)
             batch["src_points"] = src_arrays["points"][si]
             batch["src_sem"] = src_arrays["sems"][si].astype(jnp.int32)
             batch["src_mat"] = src_arrays["mats"][si]

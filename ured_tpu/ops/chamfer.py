@@ -24,6 +24,7 @@ tree templated D=2/3/5; here D is just the trailing axis).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -32,6 +33,12 @@ import jax.numpy as jnp
 Array = jax.Array
 
 _BIG = 1e9
+
+# Read once at import: the dispatch decision is baked into jit caches, so a
+# mid-process toggle could never take effect for already-compiled shapes
+# anyway — process-lifetime semantics are the honest contract.  For an
+# explicit per-call choice use ``nn_distance_pallas`` directly.
+_NN_PALLAS = os.environ.get("URED_NN_PALLAS", "0") == "1"
 
 
 def pairwise_sqdist(x: Array, y: Array, precision=None) -> Array:
@@ -127,9 +134,7 @@ def _pallas_eligible(n: int, m: int) -> bool:
     Tile constraints (after any orientation swap): the non-tiled cloud
     lives whole in VMEM as [M, 3] padded to 128 lanes (~512 B/point), so M
     is capped; the tiled side needs a valid tile."""
-    import os
-
-    if os.environ.get("URED_NN_PALLAS", "0") != "1":
+    if not _NN_PALLAS:
         return False
     from ured_tpu.ops.chamfer_pallas import pick_tile
 
