@@ -38,21 +38,33 @@ Array = jax.Array
 
 
 def make_eval_step(cfg: URedConfig, model: URED, k_candidates: int = 1,
-                   ndcg_k: int = 40):
+                   ndcg_k: int = 40, mesh=None,
+                   num_real_sources: Optional[int] = None):
     """Returns jittable ``eval_step(variables, batch, src_db)``.
 
     batch: {x [B, N, 3], labels [B, N], tgt_sem [B, N]}
     src_db: {codes [S, C], mats [S, 3n, 6], points [S, n, 3]}
+    (+ optional ``valid`` [S] when the DB was padded for sharding)
 
     ``k_candidates > 1`` evaluates the top-k retrieval ranks per part and
     reports the best post-deformation Chamfer — the "best full cd loss (from
     retrieval)" contract of reference ``test.py:283`` (its candidate loop as
     one batched scan).
 
+    ``mesh``: a (dp, db) ``jax.sharding.Mesh`` — retrieval runs DB-sharded
+    (per-shard top-k + gather-merge, ``parallel.retrieval``) and the rest of
+    the step is GSPMD-sharded by the input placements (batch over ``dp``,
+    source tensors over ``db``).
+
     The step returns only top-k index/score tensors for the retrieval
     ranking (``sim_topk`` covers NDCG@``ndcg_k``), never the dense
     [B, P, S] similarity matrix — at 100k sources that matrix is the first
     thing to blow HBM and the host only ever consumes its top-k.
+
+    ``num_real_sources``: the unpadded DB size.  When the DB was padded for
+    ``db``-sharding, k must be clamped to the *real* count so the masked
+    padding rows (score -1e9) can never reach the returned top-k — the host
+    consumers index [S_real]-sized relevance rows with these ids.
     """
 
     def eval_step(variables, batch, src_db):
@@ -68,10 +80,18 @@ def make_eval_step(cfg: URedConfig, model: URED, k_candidates: int = 1,
 
         # retrieval over the whole DB: one [B*P, S] matmul + top-k; one
         # retrieval wide enough for both the candidate loop and NDCG
-        num_sources = src_db["codes"].shape[0]
+        num_sources = (src_db["codes"].shape[0] if num_real_sources is None
+                       else num_real_sources)
         k_ret = min(max(k_candidates, ndcg_k), num_sources)
-        scores, idx = retrieve_topk(
-            part_f.reshape(b * p, -1), src_db["codes"], k=k_ret)
+        if mesh is not None:
+            from ured_tpu.parallel.retrieval import sharded_retrieve_topk
+
+            scores, idx = sharded_retrieve_topk(
+                part_f.reshape(b * p, -1), src_db["codes"], k=k_ret,
+                mesh=mesh, src_valid=src_db.get("valid"))
+        else:
+            scores, idx = retrieve_topk(
+                part_f.reshape(b * p, -1), src_db["codes"], k=k_ret)
         sim_topk = idx.reshape(b, p, k_ret)                 # [B, P, Kr]
         sim_topk_scores = scores.reshape(b, p, k_ret)
         topk = sim_topk[..., :k_candidates]                 # [B, P, K]
@@ -351,27 +371,84 @@ def maybe_recalibrate(cfg: URedConfig, model: URED, variables, data,
 def ndcg_for_batch(out, pair_dist, offset: int, sigma: float,
                    k: int = 40):
     """NDCG@k scores for one eval-step output against the pair archive's
-    relevance rows (reference ``dataset_utils.py:1165-1176``)."""
-    from ured_tpu.utils.metrics import dcd_relevance, ndcg_from_topk
+    relevance rows (reference ``dataset_utils.py:1165-1176``).  Vectorized:
+    one numpy pass over the [B, P, S] relevance block (the per-(target,
+    part) python loop with an argsort per miss crawled at scale)."""
+    from ured_tpu.utils.metrics import dcd_relevance, ndcg_batch
 
-    scores = []
-    sim_topk = np.asarray(out["sim_topk"])
-    mask = np.asarray(out["part_mask"])
-    for b in range(sim_topk.shape[0]):
-        for pi in range(sim_topk.shape[1]):
-            if mask[b, pi] <= 0:
-                continue
-            rel = dcd_relevance(pair_dist[offset + b, pi], sigma=sigma)
-            scores.append(ndcg_from_topk(rel, sim_topk[b, pi], k=k))
-    return scores
+    sim_topk = np.asarray(out["sim_topk"])             # [B, P, Kr]
+    mask = np.asarray(out["part_mask"]) > 0            # [B, P]
+    b = sim_topk.shape[0]
+    rel = dcd_relevance(pair_dist[offset:offset + b], sigma=sigma)
+    scores = ndcg_batch(rel, sim_topk, k=k)            # [B, P]
+    return scores[mask].tolist()
+
+
+def place_source_db(src_db: Dict[str, Array], mesh) -> Dict[str, Array]:
+    """Pad the source DB to the ``db`` axis size and shard it: every
+    per-source tensor lives distributed over the mesh's ``db`` axis (at
+    reference scale the A-matrix table alone is ~0.5 GB; at 100k sources
+    ~7 GB).  Adds a ``valid`` mask so padding rows can never be retrieved."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ured_tpu.parallel.retrieval import pad_to_multiple
+
+    db = mesh.shape["db"]
+    s_real = src_db["codes"].shape[0]
+    valid = jnp.arange(-(-s_real // db) * db) < s_real
+    out = {k: pad_to_multiple(v, db) for k, v in src_db.items()}
+    out["valid"] = valid.astype(jnp.float32)
+    shard = NamedSharding(mesh, P("db"))
+    return {k: jax.device_put(v, shard) for k, v in out.items()}
+
+
+def cl_acc_for_batch(out, data, offset: int, threshold: float):
+    """(correct, total) retrieval acceptances for one eval-step output.
+
+    Exact reference contract (``dataset_utils.py:get_labels_from_cl:
+    1145-1161``): the retrieval is accepted iff it lies in the target
+    part's OWN threshold-filtered DCD top-10 (the part's pair-archive row),
+    or equals the single nearest source.  Falls back to the label-table /
+    source-neighborhood proxy only when no pair archive is attached.
+    """
+    top1 = np.asarray(out["top1"])                        # [B, P]
+    pm = np.asarray(out["part_mask"]) > 0                 # [B, P]
+    b = top1.shape[0]
+    pair_dist = getattr(data, "pair_dist", None)
+    if pair_dist is not None:
+        from ured_tpu.utils.metrics import retrieval_accept_mask
+
+        rows = pair_dist[offset:offset + b]               # [B, P, S]
+        accept = retrieval_accept_mask(top1, rows, threshold)
+        return int(np.sum(accept & pm)), int(np.sum(pm))
+
+    if getattr(data, "label_table", None) is None:
+        return 0, 0
+    want = data.label_table[offset:offset + b]            # [B, P]
+    scored = pm & (want >= 0)
+    hit = scored & (top1 == want)
+    if data.dist_src is not None:
+        near = np.argsort(data.dist_src, axis=-1)[:, :10]  # [S, 10]
+        lenient = np.any(near[np.where(want >= 0, want, 0)]
+                         == top1[..., None], axis=-1)
+        hit = scored & (hit | lenient)
+    return int(np.sum(hit)), int(np.sum(scored))
 
 
 def evaluate(cfg: URedConfig, model: URED, variables, data,
              batch_size: Optional[int] = None,
-             ndcg_sigma: Optional[float] = None) -> Dict[str, float]:
+             ndcg_sigma: Optional[float] = None,
+             mesh=None) -> Dict[str, float]:
     """Full-corpus evaluation on a SyntheticData-like object.
 
-    Prints and returns the ``test.py:283-286`` metric trio plus NDCG@40.
+    Prints and returns the ``test.py:283-286`` metric trio plus NDCG@40:
+
+      * ``best_full_cd_loss`` — best post-deformation Chamfer over the
+        top-``k_candidates`` retrieval ranks per part (the reference's
+        candidate sweep, ``test.py:146-283``; config extra
+        ``k_candidates``, default 5),
+      * ``cd_loss_top1`` — the top-1-only number,
+      * ``best_full_re_loss``, ``ndcg@40``, ``cl_acc``.
 
     NDCG relevance follows the reference exactly: the *target part's own*
     pair distances to every source, ``exp(-d^2 / (2 sigma^2))`` with
@@ -379,11 +456,24 @@ def evaluate(cfg: URedConfig, model: URED, variables, data,
     consuming ``data.pair_dist [T, P, S]`` (the pair archive from
     ``data/pairs.py``).  ``ndcg_sigma`` (or cfg extra ``ndcg_sigma``)
     overrides sigma for corpora whose distances live on a different scale.
+
+    ``mesh`` (default: resolved from ``cfg.mesh_dp`` x ``cfg.mesh_db``):
+    runs the eval step dp-sharded with the source DB sharded over ``db``
+    and retrieval through ``sharded_retrieve_topk``.
     """
     if ndcg_sigma is None:
         ndcg_sigma = float(cfg.extras.get("ndcg_sigma", 0.001))
+    k_candidates = int(cfg.extras.get("k_candidates", 5))
+
+    if mesh is None:
+        from ured_tpu.parallel.mesh import resolve_mesh
+
+        mesh = resolve_mesh(cfg)
 
     bs = batch_size or cfg.batch_size
+    if mesh is not None and bs % mesh.shape["dp"]:
+        raise ValueError(f"batch_size {bs} not divisible by "
+                         f"mesh_dp={mesh.shape['dp']}")
     num = (data.points.shape[0] // bs) * bs
 
     src_db = build_source_db(
@@ -394,47 +484,46 @@ def evaluate(cfg: URedConfig, model: URED, variables, data,
     variables, src_db = maybe_recalibrate(
         cfg, model, variables, data, src_db, bs, num)
 
-    step = jax.jit(make_eval_step(cfg, model))
+    dp_sharding = None
+    s_real = src_db["codes"].shape[0]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    cds, res, ndcgs = [], [], []
+        src_db = place_source_db(src_db, mesh)
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+        dp_sharding = NamedSharding(mesh, P("dp"))
+
+    step = jax.jit(make_eval_step(cfg, model, k_candidates=k_candidates,
+                                  mesh=mesh, num_real_sources=s_real))
+
+    cds, cds_best, res, ndcgs = [], [], [], []
     cl_correct, cl_total = 0, 0
     for i, batch in eval_batches(data, bs, num):
+        if dp_sharding is not None:
+            batch = {k: jax.device_put(v, dp_sharding)
+                     for k, v in batch.items()}
         out = step(variables, batch, src_db)
         cds.append(np.asarray(out["cd_full"]))
+        cds_best.append(np.asarray(out["cd_best"]))
         res.append(np.asarray(out["re_score"]))
 
-        # retrieval accuracy vs the pseudo-GT label table ("cl acc",
-        # reference dataset_utils.py:get_labels_from_cl:1145-1161)
-        if getattr(data, "label_table", None) is not None:
-            top1 = np.asarray(out["top1"])
-            pm = np.asarray(out["part_mask"])
-            for b in range(top1.shape[0]):
-                for pi in range(top1.shape[1]):
-                    want = data.label_table[i + b, pi]
-                    if pm[b, pi] <= 0 or want < 0:
-                        continue
-                    cl_total += 1
-                    if top1[b, pi] == want:
-                        cl_correct += 1
-                    elif data.dist_src is not None:
-                        # accept mutually-close sources (same leniency as
-                        # the reference's top-k window)
-                        row = data.dist_src[want]
-                        near = np.argsort(row)[:10]
-                        if top1[b, pi] in near:
-                            cl_correct += 1
+        c, t = cl_acc_for_batch(out, data, i, cfg.filter_threshold)
+        cl_correct += c
+        cl_total += t
 
         pair_dist = getattr(data, "pair_dist", None)
         if pair_dist is not None:
             ndcgs.extend(ndcg_for_batch(out, pair_dist, i, ndcg_sigma))
 
     metrics = {
-        "best_full_cd_loss": float(np.mean(np.concatenate(cds))),
+        "best_full_cd_loss": float(np.mean(np.concatenate(cds_best))),
+        "cd_loss_top1": float(np.mean(np.concatenate(cds))),
         "best_full_re_loss": float(np.mean(np.concatenate(res))),
         "ndcg@40": float(np.mean(ndcgs)) if ndcgs else 0.0,
         "cl_acc": 100.0 * cl_correct / cl_total if cl_total else 0.0,
     }
     print("best full cd loss: {best_full_cd_loss:.6f} | "
+          "cd loss top1: {cd_loss_top1:.6f} | "
           "best full re loss: {best_full_re_loss:.6f} | "
           "ndcg@40: {ndcg@40:.4f} | cl acc: {cl_acc:.1f}%".format(**metrics))
     return metrics

@@ -22,12 +22,16 @@ from ured_tpu.models.ured import URED
 
 def run_vis(cfg: URedConfig, model: URED, variables, data, source_db,
             out_dir: str, max_targets: Optional[int] = None,
-            alpha: Optional[float] = None) -> Dict[str, float]:
+            alpha: Optional[float] = None, mesh=None) -> Dict[str, float]:
     """Evaluate + export deformed meshes for each target.
 
     ``data``: PartNetDataset or SyntheticData-like (points/labels/semantics
     arrays).  ``source_db``: ``partnet.SourceDB`` with mesh payloads, or a
     dict with points/mats (points-only export then).
+
+    ``mesh`` (default: resolved from ``cfg.mesh_dp`` x ``cfg.mesh_db``):
+    batch dp-sharded, source DB sharded over ``db``, retrieval through
+    ``sharded_retrieve_topk`` — same multi-chip path as ``evaluate()``.
 
     Returns the metric dict; writes per-target OBJ assemblies to
     ``out_dir`` (reference ``vis.py:270-299``).
@@ -35,6 +39,13 @@ def run_vis(cfg: URedConfig, model: URED, variables, data, source_db,
     os.makedirs(out_dir, exist_ok=True)
     alpha = cfg.alpha if alpha is None else alpha
     bs = cfg.batch_size
+    if mesh is None:
+        from ured_tpu.parallel.mesh import resolve_mesh
+
+        mesh = resolve_mesh(cfg)
+    if mesh is not None and bs % mesh.shape["dp"]:
+        raise ValueError(f"batch_size {bs} not divisible by "
+                         f"mesh_dp={mesh.shape['dp']}")
     n = data.points.shape[0] if max_targets is None \
         else min(max_targets, data.points.shape[0])
     n = (n // bs) * bs or bs
@@ -60,13 +71,27 @@ def run_vis(cfg: URedConfig, model: URED, variables, data, source_db,
 
     variables, db = maybe_recalibrate(cfg, model, variables, data, db,
                                       bs, n)
-    step = jax.jit(make_eval_step(cfg, model))
+    dp_sharding = None
+    s_real = db["codes"].shape[0]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ured_tpu.engine.evaluate import place_source_db
+
+        db = place_source_db(db, mesh)
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+        dp_sharding = NamedSharding(mesh, P("dp"))
+    step = jax.jit(make_eval_step(cfg, model, mesh=mesh,
+                                  num_real_sources=s_real))
 
     ndcg_sigma = float(cfg.extras.get("ndcg_sigma", 0.001))
     pair_dist = getattr(data, "pair_dist", None)
 
     cds, res, ndcgs = [], [], []
     for i, batch in eval_batches(data, bs, n):
+        if dp_sharding is not None:
+            batch = {k: jax.device_put(v, dp_sharding)
+                     for k, v in batch.items()}
         out = step(variables, batch, db)
         cds.append(np.asarray(out["cd_full"]))
         res.append(np.asarray(out["re_score"]))

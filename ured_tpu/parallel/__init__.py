@@ -11,9 +11,10 @@ The reference's only distributed machinery is NCCL DDP hooks (SURVEY.md
        the source database, not sequence length).
 """
 
-from ured_tpu.parallel.mesh import make_mesh
+from ured_tpu.parallel.mesh import make_mesh, resolve_mesh
 from ured_tpu.parallel.retrieval import (
     encode_source_db,
+    pad_to_multiple,
     retrieve_topk,
     sharded_retrieve_topk,
 )

@@ -11,7 +11,7 @@ candidates instead of the reference's chunked 512-at-a-time python loop
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -68,12 +68,29 @@ def retrieve_topk(tgt_part_f: Array, src_codes: Array, k: int
     return scores, idx.astype(jnp.int32)
 
 
+def pad_to_multiple(a: Array, multiple: int, axis: int = 0) -> Array:
+    """Zero-pad ``a`` along ``axis`` to the next multiple (sharding a tensor
+    over a mesh axis requires divisibility)."""
+    size = a.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(a, widths)
+
+
 def sharded_retrieve_topk(tgt_part_f: Array, src_codes: Array, k: int,
-                          mesh: Mesh) -> Tuple[Array, Array]:
+                          mesh: Mesh, src_valid: Optional[Array] = None
+                          ) -> Tuple[Array, Array]:
     """DB-sharded retrieval: per-shard top-k, then gather + merge.
 
     The queries are replicated over ``db`` and sharded over ``dp``; the DB is
     sharded over ``db``.  Communication is O(Q * k * db), independent of S.
+
+    ``src_valid`` [S] (1 = real entry) masks padding rows appended by
+    ``pad_to_multiple`` so they can never be retrieved (a zero code row
+    scores cosine 0, which would outrank genuinely negative similarities).
     """
     s_total = src_codes.shape[0]
     db = mesh.shape["db"]
@@ -82,11 +99,17 @@ def sharded_retrieve_topk(tgt_part_f: Array, src_codes: Array, k: int,
     shard = s_total // db
     kk = min(k, shard)
 
-    def local(q, db_shard):
+    def local(q, db_shard, valid_shard):
         # db_shard: [shard, C] local slice; global index offset by rank
         rank = jax.lax.axis_index("db")
-        scores, idx = retrieve_topk(q, db_shard, kk)
-        idx = idx + rank * shard
+        qn = l2_normalize(q)
+        sn = l2_normalize(db_shard)
+        sims = jnp.einsum("qc,sc->qs", qn, sn,
+                          preferred_element_type=jnp.float32)
+        if valid_shard is not None:
+            sims = sims - 1e9 * (1.0 - valid_shard)[None, :]
+        scores, idx = jax.lax.top_k(sims, kk)
+        idx = idx.astype(jnp.int32) + rank * shard
         # gather every shard's winners: [db, Q, kk]
         all_scores = jax.lax.all_gather(scores, "db")
         all_idx = jax.lax.all_gather(idx, "db")
@@ -96,9 +119,16 @@ def sharded_retrieve_topk(tgt_part_f: Array, src_codes: Array, k: int,
         best, pos = jax.lax.top_k(all_scores, min(k, db * kk))
         return best, jnp.take_along_axis(all_idx, pos, axis=-1)
 
+    if src_valid is None:
+        fn = jax.shard_map(
+            lambda q, s: local(q, s, None), mesh=mesh,
+            in_specs=(P("dp", None), P("db", None)),
+            out_specs=(P("dp", None), P("dp", None)),
+            check_vma=False)
+        return fn(tgt_part_f, src_codes)
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P("dp", None), P("db", None)),
+        in_specs=(P("dp", None), P("db", None), P("db")),
         out_specs=(P("dp", None), P("dp", None)),
         check_vma=False)
-    return fn(tgt_part_f, src_codes)
+    return fn(tgt_part_f, src_codes, src_valid)

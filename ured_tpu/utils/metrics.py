@@ -73,3 +73,66 @@ def retrieval_topk_accuracy(pred_top1: np.ndarray, dist_rows: np.ndarray,
                 or pred_top1[i] == order[0]:
             correct += 1
     return 100.0 * correct / max(n, 1)
+
+
+def retrieval_accept_mask(pred: np.ndarray, dist_rows: np.ndarray,
+                          threshold: float, k: int = 10) -> np.ndarray:
+    """Vectorized acceptance test of ``retrieval_topk_accuracy``.
+
+    The exact reference contract (``get_labels_from_cl:1145-1161``): a
+    retrieval is correct iff it lies in the target part's OWN
+    threshold-filtered DCD top-``k`` (``read_pickle_topk`` uses k=10 over
+    the cd_m row), or it equals the single nearest source.
+
+    Args:
+      pred: [...] predicted source index per query.
+      dist_rows: [..., S] the query's own pair distances to every source.
+      threshold: cfg.filter_threshold.
+    Returns boolean acceptance mask of ``pred.shape``.
+    """
+    pred = np.asarray(pred)
+    dist_rows = np.asarray(dist_rows)
+    s = dist_rows.shape[-1]
+    kk = min(k, s)
+    if kk < s:
+        cand = np.argpartition(dist_rows, kth=kk - 1, axis=-1)[..., :kk]
+    else:
+        cand = np.broadcast_to(np.arange(s), dist_rows.shape).copy()
+    cand_d = np.take_along_axis(dist_rows, cand, axis=-1)
+    order = np.argsort(cand_d, axis=-1, kind="stable")
+    topk = np.take_along_axis(cand, order, axis=-1)        # [..., k] sorted
+    topd = np.take_along_axis(cand_d, order, axis=-1)
+    in_filtered = np.any((topk == pred[..., None]) &
+                         (topd < threshold), axis=-1)
+    return in_filtered | (pred == topk[..., 0])
+
+
+def ndcg_batch(relevance: np.ndarray, topk_idx: np.ndarray,
+               k: int = 40) -> np.ndarray:
+    """Vectorized NDCG@k over a batch of queries.
+
+    Equivalent to ``ndcg_from_topk`` per row (same contract: ``topk_idx``
+    lists each query's highest-scoring items in descending score order) but
+    one numpy pass over [..., S] instead of a python loop with an argsort
+    per query — the eval stage at reference scale is device-dominated again.
+
+    Args:
+      relevance: [..., S] true relevance rows.
+      topk_idx: [..., K] ranked item indices (K >= k).
+    Returns NDCG@k per query, zeros where IDCG is 0.
+    """
+    rel = np.asarray(relevance, dtype=np.float64)
+    idx = np.asarray(topk_idx)[..., :k]
+    kk = idx.shape[-1]
+    discounts = 1.0 / np.log2(np.arange(2, kk + 2))
+    ranked = np.take_along_axis(rel, idx, axis=-1)
+    dcg = np.sum(ranked * discounts, axis=-1)
+    # ideal ranking: top-k relevance values in descending order
+    s = rel.shape[-1]
+    if kk < s:
+        part = np.partition(rel, kth=s - kk, axis=-1)[..., s - kk:]
+    else:
+        part = rel
+    ideal = -np.sort(-part, axis=-1)[..., :kk]
+    idcg = np.sum(ideal * discounts, axis=-1)
+    return np.where(idcg > 0, dcg / np.maximum(idcg, 1e-30), 0.0)
