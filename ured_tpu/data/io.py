@@ -41,6 +41,13 @@ class PartModel:
     vertices_mat: Optional[np.ndarray] = None  # [3V, 6]
     faces: Optional[np.ndarray] = None         # [F, 3]
     model_id: str = ""
+    # whole-shape joint constraints of the OWNING shape (reference h5 keys
+    # ``constraint_mat`` / ``constraint_proj_mat``, ``dataset_utils.py:
+    # get_model:54-56`` / ``load_sources.py:102-105``): C [3J, 6K] with
+    # C @ params = 0, and the [6K, 6K] null-space projector
+    constraint_mat: Optional[np.ndarray] = None
+    constraint_proj: Optional[np.ndarray] = None
+    part_index: int = -1         # this part's block within the shape's 6K
 
 
 def save_part_h5(path: str, part: PartModel) -> None:
@@ -54,9 +61,15 @@ def save_part_h5(path: str, part: PartModel) -> None:
             f.create_dataset("vertices", data=part.vertices)
             f.create_dataset("vertices_mat", data=part.vertices_mat)
             f.create_dataset("faces", data=part.faces)
+        if part.constraint_mat is not None:
+            f.create_dataset("constraint_mat", data=part.constraint_mat)
+            f.create_dataset("constraint_proj_mat",
+                             data=part.constraint_proj)
+            f.create_dataset("part_index", data=np.int64(part.part_index))
 
 
-def load_part_h5(path: str, mesh: bool = True) -> PartModel:
+def load_part_h5(path: str, mesh: bool = True,
+                 constraint: bool = False) -> PartModel:
     with h5py.File(path, "r") as f:
         label = f["label"][()]
         if isinstance(label, bytes):
@@ -73,6 +86,10 @@ def load_part_h5(path: str, mesh: bool = True) -> PartModel:
             part.vertices = f["vertices"][:]
             part.vertices_mat = f["vertices_mat"][:]
             part.faces = f["faces"][:]
+        if constraint and "constraint_mat" in f:
+            part.constraint_mat = f["constraint_mat"][:]
+            part.constraint_proj = f["constraint_proj_mat"][:]
+            part.part_index = int(f["part_index"][()])
         return part
 
 

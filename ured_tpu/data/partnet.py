@@ -43,6 +43,12 @@ class SourceDB:
     vertices_mats: Optional[List[np.ndarray]] = None
     faces: Optional[List[np.ndarray]] = None
     dist_src: Optional[np.ndarray] = None  # [S, S] pairwise distances
+    # whole-shape joint constraints (loaded under ``cfg.use_connectivity``,
+    # reference ``load_sources.py:102-122``): per row, the OWNING shape's
+    # C [3J, 6K] / null-space projector [6K, 6K] and this part's block index
+    constraint_mats: Optional[List[Optional[np.ndarray]]] = None
+    constraint_projs: Optional[List[Optional[np.ndarray]]] = None
+    part_indices: Optional[np.ndarray] = None  # [S] int, -1 when unknown
 
     def __len__(self) -> int:
         return self.points.shape[0]
@@ -92,11 +98,13 @@ def load_sources(cfg: URedConfig, mesh: bool = False,
     pts, mats, defaults, sem_ids, sem_labels, model_ids = \
         [], [], [], [], [], []
     verts, vmats, faces = [], [], []
+    cmats, cprojs, pidx = [], [], []
+    use_conn = bool(cfg.use_connectivity)
     for name in source_names:
         path = name if os.path.isabs(name) else os.path.join(h5_dir, name)
         if not path.endswith(".h5"):
             path += ".h5"
-        part = io.load_part_h5(path, mesh=mesh)
+        part = io.load_part_h5(path, mesh=mesh, constraint=use_conn)
         pts.append(part.points.astype(np.float32))
         mats.append(part.points_mat.astype(np.float32))
         defaults.append(part.default_param.astype(np.float32))
@@ -107,6 +115,10 @@ def load_sources(cfg: URedConfig, mesh: bool = False,
             verts.append(part.vertices)
             vmats.append(part.vertices_mat)
             faces.append(part.faces)
+        if use_conn:
+            cmats.append(part.constraint_mat)
+            cprojs.append(part.constraint_proj)
+            pidx.append(part.part_index)
 
     dist_src = None
     if cfg.src_connectivity and os.path.exists(cfg.src_connectivity):
@@ -122,7 +134,10 @@ def load_sources(cfg: URedConfig, mesh: bool = False,
         vertices=verts if mesh else None,
         vertices_mats=vmats if mesh else None,
         faces=faces if mesh else None,
-        dist_src=dist_src)
+        dist_src=dist_src,
+        constraint_mats=cmats if use_conn else None,
+        constraint_projs=cprojs if use_conn else None,
+        part_indices=np.asarray(pidx, np.int64) if use_conn else None)
 
 
 @dataclass

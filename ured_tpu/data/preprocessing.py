@@ -281,9 +281,17 @@ def process_shape(hier_json: str, partnet_json: Optional[str],
 
 
 def save_parts(out_dir: str, model_id: str,
-               parts: List[ProcessedPart]) -> List[str]:
+               parts: List[ProcessedPart],
+               constraint_mat: Optional[np.ndarray] = None,
+               constraint_proj: Optional[np.ndarray] = None) -> List[str]:
     """One h5 per part, named ``{model_id}_{part_idx}.h5`` (the reference's
-    per-part file convention, ``save_part_data:829-868``)."""
+    per-part file convention, ``save_part_data:829-868``).
+
+    ``constraint_mat`` [3J, 6K] / ``constraint_proj`` [6K, 6K] — the owning
+    shape's joint constraints from ``process_shape`` — are persisted into
+    every part's h5 (reference keys ``constraint_mat`` /
+    ``constraint_proj_mat``) together with the part's block index, so any
+    loaded part can reconstruct the whole-shape coupling."""
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for i, p in enumerate(parts):
@@ -292,7 +300,9 @@ def save_parts(out_dir: str, model_id: str,
             box_params=p.box, default_param=p.default_param,
             points=p.points, points_mat=p.points_mat,
             sem_label=p.label, vertices=p.vertices,
-            vertices_mat=p.vertices_mat, faces=p.faces))
+            vertices_mat=p.vertices_mat, faces=p.faces,
+            constraint_mat=constraint_mat,
+            constraint_proj=constraint_proj, part_index=i))
         paths.append(path)
     return paths
 
@@ -305,10 +315,11 @@ def process_corpus(shape_specs: List[dict], out_dir: str,
     from joblib import Parallel, delayed
 
     def one(spec):
-        parts, _, _ = process_shape(
+        parts, c, proj = process_shape(
             spec["hier_json"], spec.get("partnet_json"),
             spec.get("obj_dir"), **kw)
-        save_parts(out_dir, spec["model_id"], parts)
+        save_parts(out_dir, spec["model_id"], parts,
+                   constraint_mat=c, constraint_proj=proj)
 
     Parallel(n_jobs=n_jobs)(delayed(one)(s) for s in shape_specs)
 

@@ -33,6 +33,47 @@ def deform_vertices(vertices_mat: np.ndarray, params: np.ndarray,
     return (np.asarray(vertices_mat, np.float64) @ p).reshape(-1, 3)
 
 
+def subset_projection(constraint_mat: np.ndarray,
+                      part_ids: Sequence[int],
+                      zero_tol: float = 1e-9) -> np.ndarray:
+    """Null-space projector for a SUBSET of a shape's parts.
+
+    ``constraint_mat`` [3J, 6K] couples all K parts of the owning shape;
+    when only ``part_ids`` of them are in play (the per-part retrieval can
+    pick any subset), the applicable constraints are exactly the rows whose
+    support lies inside the selected blocks — constraints touching an
+    absent part cannot be enforced.  Returns the [6k, 6k] projector over
+    the selected blocks in ``part_ids`` order (a sliced-and-reprojected
+    form of reference ``get_constraint_projection_matrix:599``; slicing the
+    full NNT projector would NOT be a projector).
+    """
+    from ured_tpu.data.preprocessing import constraint_projection
+
+    c = np.asarray(constraint_mat)
+    ids = list(part_ids)
+    cols = np.concatenate([np.arange(6 * i, 6 * i + 6) for i in ids])
+    inside = np.zeros(c.shape[1], bool)
+    inside[cols] = True
+    sub = c[:, cols]
+    keep = (np.abs(c[:, ~inside]).max(axis=1, initial=0.0) <= zero_tol) \
+        & (np.abs(sub).max(axis=1, initial=0.0) > zero_tol)
+    return constraint_projection(sub[keep])
+
+
+def _project_group_params(params_abs: np.ndarray, ids: Sequence[int],
+                          constraint_mat: np.ndarray,
+                          part_ids_in_shape: Sequence[int]) -> np.ndarray:
+    """Weld the joints among a group of co-retrieved parts: project the
+    group's flattened absolute params onto the null space of the owning
+    shape's applicable constraints.  ``ids`` index ``params_abs`` rows;
+    ``part_ids_in_shape`` are the same parts' blocks inside the shape."""
+    proj = subset_projection(constraint_mat, part_ids_in_shape)
+    flat = params_abs[list(ids)].reshape(-1)
+    out = params_abs.copy()
+    out[list(ids)] = (proj @ flat).reshape(len(ids), 6)
+    return out
+
+
 def export_deformed_assembly(
         out_dir: str, name: str,
         vertices_mats: Sequence[np.ndarray],
@@ -40,27 +81,57 @@ def export_deformed_assembly(
         params: np.ndarray,
         default_params: Optional[np.ndarray] = None,
         alpha: float = 0.1,
-        part_mask: Optional[np.ndarray] = None) -> List[str]:
+        part_mask: Optional[np.ndarray] = None,
+        shape_keys: Optional[Sequence] = None,
+        constraint_mats: Optional[Sequence[Optional[np.ndarray]]] = None,
+        part_indices: Optional[Sequence[int]] = None) -> List[str]:
     """Write one OBJ per deformed part plus the combined assembly.
 
     params [P, 6]; default_params [P, 6] (target part AABBs at eval time);
     part_mask [P] selects live parts.  Returns the written paths
     (``{name}_part{i}.obj`` + ``{name}_combined.obj``).
+
+    Connectivity (``cfg.use_connectivity`` wiring): when ``shape_keys``
+    (per-part owning-shape key), ``constraint_mats`` (per-part owning
+    shape's C) and ``part_indices`` (per-part block within that shape) are
+    given, parts retrieved from the SAME source shape are deformed jointly
+    — their absolute params are projected onto the shape's joint-constraint
+    null space first, so shared joints stay welded (the whole-shape
+    ``connectivity_mat`` semantics of reference ``get_shape_numpy``,
+    ``dataset_utils.py:601-621``, generalized to retrieved subsets).
     """
     os.makedirs(out_dir, exist_ok=True)
+    live = [i for i in range(len(vertices_mats))
+            if part_mask is None or part_mask[i] > 0]
+
+    # absolute params per part (alpha * delta + rest pose)
+    p_abs = alpha * np.asarray(params, np.float64)
+    if default_params is not None:
+        p_abs = p_abs + np.asarray(default_params, np.float64)
+
+    if shape_keys is not None and constraint_mats is not None \
+            and part_indices is not None:
+        groups: dict = {}
+        for i in live:
+            if constraint_mats[i] is None or part_indices[i] < 0:
+                continue
+            groups.setdefault(shape_keys[i], []).append(i)
+        for ids in groups.values():
+            if len(ids) > 1:
+                p_abs = _project_group_params(
+                    p_abs, ids, constraint_mats[ids[0]],
+                    [part_indices[i] for i in ids])
+
     paths = []
     all_v, all_f = [], []
     offset = 0
-    for i, (vmat, f) in enumerate(zip(vertices_mats, faces)):
-        if part_mask is not None and part_mask[i] <= 0:
-            continue
-        dp = default_params[i] if default_params is not None else None
-        v = deform_vertices(vmat, params[i], dp, alpha)
+    for i in live:
+        v = deform_vertices(vertices_mats[i], p_abs[i], None, alpha=1.0)
         path = os.path.join(out_dir, f"{name}_part{i}.obj")
-        io.write_obj(path, v, f)
+        io.write_obj(path, v, faces[i])
         paths.append(path)
         all_v.append(v)
-        all_f.append(np.asarray(f) + offset)
+        all_f.append(np.asarray(faces[i]) + offset)
         offset += len(v)
     if all_v:
         combined = os.path.join(out_dir, f"{name}_combined.obj")

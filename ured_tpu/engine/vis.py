@@ -104,14 +104,28 @@ def run_vis(cfg: URedConfig, model: URED, variables, data, source_db,
         param_def = np.asarray(out["param_def"])
         mask = np.asarray(out["part_mask"])
         has_mesh = getattr(source_db, "vertices_mats", None)
+        # cfg.use_connectivity: parts co-retrieved from the same source
+        # shape are deformed with their joints welded (whole-shape
+        # constraint projection, reference ``use_connectivity`` configs)
+        conn = getattr(source_db, "constraint_mats", None) \
+            if cfg.use_connectivity else None
         for b in range(top1.shape[0]):
             t = i + b
             if has_mesh:
-                vmats = [source_db.vertices_mats[s] for s in top1[b]]
-                faces = [source_db.faces[s] for s in top1[b]]
+                sel = top1[b]
+                vmats = [source_db.vertices_mats[s] for s in sel]
+                faces = [source_db.faces[s] for s in sel]
+                kw = {}
+                if conn is not None:
+                    kw = dict(
+                        shape_keys=[source_db.model_ids[s].rsplit("_", 1)[0]
+                                    for s in sel],
+                        constraint_mats=[conn[s] for s in sel],
+                        part_indices=[int(source_db.part_indices[s])
+                                      for s in sel])
                 export_deformed_assembly(
                     out_dir, f"target{t:04d}", vmats, faces, params[b],
-                    param_def[b], alpha=alpha, part_mask=mask[b])
+                    param_def[b], alpha=alpha, part_mask=mask[b], **kw)
             else:
                 # points-only export path
                 from ured_tpu.engine.export import export_point_cloud

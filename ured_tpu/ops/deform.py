@@ -37,9 +37,15 @@ def get_shape(A: Array, params: Array,
       params: [B, P, 6] predicted deformation deltas.
       default_param: [B, P, 6] rest-pose (t, s) of each part, or None.
       alpha: step scale (reference cfg["alpha"], live value 0.1).
-      connectivity: [B, P, 6, 6] optional per-part constraint projection
-        applied to the final params before the A map (reference
-        ``dataset_utils.py:712-722``).
+      connectivity: optional constraint projection applied to the final
+        (absolute) params before the A map, either
+          * [B, 6P, 6P] — the reference's whole-shape null-space projector
+            coupling all parts' params (``dataset_utils.py:get_shape:
+            693,712-722``, the [bs, 96, 96] ``connectivity_mat``; built by
+            ``data.preprocessing.constraint_projection``).  Joint
+            constraints ``C @ p = 0`` hold exactly on the output.
+          * [B, P, 6, 6] — independent per-part blocks (no cross-part
+            coupling; kept for diagonal-only uses).
     Returns:
       [B, P, n, 3] deformed part point clouds.
     """
@@ -47,7 +53,14 @@ def get_shape(A: Array, params: Array,
     if default_param is not None:
         p = p + default_param
     if connectivity is not None:
-        p = jnp.einsum("bpij,bpj->bpi", connectivity, p)
+        if connectivity.ndim == 3:      # [B, 6P, 6P] whole-shape coupling
+            b_, p_, _ = p.shape
+            flat = jnp.einsum("bij,bj->bi", connectivity,
+                              p.reshape(b_, p_ * 6),
+                              preferred_element_type=jnp.float32)
+            p = flat.reshape(b_, p_, 6)
+        else:                           # [B, P, 6, 6] per-part blocks
+            p = jnp.einsum("bpij,bpj->bpi", connectivity, p)
     out = jnp.einsum("bpkd,bpd->bpk", A, p,
                      preferred_element_type=jnp.float32)
     b, np_ = A.shape[0], A.shape[1]
@@ -79,7 +92,8 @@ def get_param_init(params: Array, default_param: Array,
 def fit_params_icp(A: Array, init_params: Array, target: Array,
                    iters: int = 10,
                    target_mask: Optional[Array] = None,
-                   damping: float = 1e-6) -> Array:
+                   damping: float = 1e-6,
+                   connectivity: Optional[Array] = None) -> Array:
     """ICP refinement of absolute box parameters (the post-process the
     reference initializes with ``get_param_init``/``icp_forward``).
 
@@ -90,6 +104,11 @@ def fit_params_icp(A: Array, init_params: Array, target: Array,
 
     Args:
       A: [B, P, 3n, 6]; init_params [B, P, 6] absolute; target [B, M, 3].
+      connectivity: optional [B, 6P, 6P] whole-shape null-space projector
+        (reference ``icp_forward``'s ``connectivity_mat``,
+        ``dataset_utils.py:775-788``) — each iterate is projected back onto
+        the joint-constraint manifold (projected least squares), so the
+        returned params keep ``C @ p = 0`` exactly.
     Returns refined absolute params [B, P, 6].
     """
     b, p, k3, _ = A.shape
@@ -100,7 +119,8 @@ def fit_params_icp(A: Array, init_params: Array, target: Array,
         + damping * jnp.eye(6)[None]
 
     def body(_, params):
-        shape = icp_forward(A, params.reshape(b, p, 6))       # [B, P, n, 3]
+        shape = icp_forward(A, params.reshape(b, p, 6),
+                            connectivity=connectivity)        # [B, P, n, 3]
         flat = shape.reshape(b, p * n, 3)
         from ured_tpu.ops.chamfer import chamfer_raw
 
@@ -110,6 +130,10 @@ def fit_params_icp(A: Array, init_params: Array, target: Array,
         m = matched.reshape(b * p, n, 3)
         atb = jnp.einsum("qnid,qni->qd", A_r, m)
         new = jnp.linalg.solve(ata, atb[..., None])[..., 0]   # [B*P, 6]
+        if connectivity is not None:
+            flat_new = jnp.einsum("bij,bj->bi", connectivity,
+                                  new.reshape(b, p * 6))
+            new = flat_new.reshape(b * p, 6)
         return new
 
     out = jax.lax.fori_loop(0, iters, body,
