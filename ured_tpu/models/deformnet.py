@@ -67,9 +67,11 @@ class DeformNetMatching(nn.Module):
 
     @nn.compact
     def __call__(self, target_f, src_part_f, per_point_f=None,
-                 train: bool = True):
+                 train: bool = True, part_mask=None):
         """target_f: [B, C]; src_part_f: [B, P, C]; per_point_f unused in the
         live path (kept for signature parity with ref ``forward:74``).
+        ``part_mask`` [B, P]: valid part nodes — padded slots are excluded
+        from the graph stack's BatchNorm statistics.
         Returns params [B, P, output_dim]."""
         # Defined-but-unused in the reference forward; kept for checkpoint
         # surface parity (ref ``deformation_net.py:60``).
@@ -83,7 +85,8 @@ class DeformNetMatching(nn.Module):
                                 self.num_heads, self.attention,
                                 self.use_offset, axis_name=self.axis_name,
                                 name="graph_attention_net")
-        global_a, part_a = gat(global_node, src_part_f, train=train)
+        global_a, part_a = gat(global_node, src_part_f, train=train,
+                               mask1=part_mask)
 
         p = part_a.shape[1]
         global_ctx = global_a.reshape(global_a.shape[0], 1, -1)  # [B, 1, 2C]
@@ -119,10 +122,12 @@ class ResidualNet(nn.Module):
     axis_name: Any = None  # SyncBN mesh axis
 
     @nn.compact
-    def __call__(self, concat_feature, train: bool = True):
-        """concat_feature: [B, N, input_dim] -> [B, N, output_dim]."""
+    def __call__(self, concat_feature, train: bool = True, mask=None):
+        """concat_feature: [B, N, input_dim] -> [B, N, output_dim].
+        ``mask`` (broadcastable to [B, N]) gates batch-statistic rows."""
         assert concat_feature.shape[-1] == self.input_dim
         out = PointMLP([256, 256, 32, self.output_dim], norm="batch",
                        dtype=self.dtype, axis_name=self.axis_name,
-                       name="residual_net")(concat_feature, train=train)
+                       name="residual_net")(concat_feature, train=train,
+                                            mask=mask)
         return out.astype(jnp.float32)

@@ -50,6 +50,10 @@ class TargetEncoder(nn.Module):
       x: [B, N, 3] target clouds, or [B, P, n, 3] source parts if ``is_src``.
       sem_f: semantic embedding features — [B, N, S] per point for targets,
         [B, P, S] per part for sources; None disables fusion.
+      valid: optional row validity for batch statistics — [B, P] part
+        validity for sources (padded part slots must not contribute to
+        BatchNorm statistics, see ``MaskedBatchNorm``), [B, N] per point
+        for targets.
     Returns:
       (global code [B(,P), C], per-point features [B(,P), N, C]).
     """
@@ -59,10 +63,10 @@ class TargetEncoder(nn.Module):
     is_src: bool = False
     sem_size: int = 0  # 0 disables semantic fusion
     dtype: Any = None  # matmul compute dtype (bf16 for MXU full rate)
-    axis_name: Any = None  # SyncBN mesh axis (pmean'd batch statistics)
+    axis_name: Any = None  # SyncBN mesh axis (reduced batch statistics)
 
     @nn.compact
-    def __call__(self, x, sem_f=None, train: bool = True):
+    def __call__(self, x, sem_f=None, train: bool = True, valid=None):
         src_shape = None
         if self.is_src:
             b, p, n, c = x.shape
@@ -72,24 +76,31 @@ class TargetEncoder(nn.Module):
                 # per-part semantic feature broadcast to every point
                 sem_f = jnp.broadcast_to(
                     sem_f.reshape(b * p, 1, -1), (b * p, n, sem_f.shape[-1]))
+            if valid is not None:
+                # [B, P] part validity -> [B*P, 1] row mask over points
+                valid = valid.reshape(b * p, 1)
         n_points = x.shape[-2]
 
         h = x
         for f in (64, 64):       # mlp1
             h = ConvBNRelu(f, dtype=self.dtype,
-                           axis_name=self.axis_name)(h, train=train)
+                           axis_name=self.axis_name)(h, train=train,
+                                                     mask=valid)
         for f in (64, 128, 1024):  # mlp2
             h = ConvBNRelu(f, dtype=self.dtype,
-                           axis_name=self.axis_name)(h, train=train)
+                           axis_name=self.axis_name)(h, train=train,
+                                                     mask=valid)
 
         if self.sem_size and sem_f is not None:
             h = jnp.concatenate([h, sem_f.astype(h.dtype)], axis=-1)
             h = ConvBNRelu(1024, name="fuse_sem", dtype=self.dtype,
-                           axis_name=self.axis_name)(h, train=train)
+                           axis_name=self.axis_name)(h, train=train,
+                                                     mask=valid)
 
         per_point = ConvBNRelu(self.embedding_size, dtype=self.dtype,
                                axis_name=self.axis_name,
-                               name="per_point_0")(h, train=train)
+                               name="per_point_0")(h, train=train,
+                                                   mask=valid)
         per_point = nn.Dense(self.embedding_size, dtype=self.dtype,
                              name="per_point_1")(per_point)
 

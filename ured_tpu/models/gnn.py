@@ -29,7 +29,9 @@ class ResidualAttentionBlock(nn.Module):
     axis_name: str = None  # SyncBN mesh axis
 
     @nn.compact
-    def __call__(self, desc_q, desc_kv, train: bool = True):
+    def __call__(self, desc_q, desc_kv, train: bool = True, mask=None):
+        """``mask`` [B, Nq]: query-node validity for batch statistics —
+        padded part nodes must not pollute the FFN's BatchNorm stats."""
         message, _ = MultiheadAttention(
             self.embed_dim, self.num_heads, self.attention,
             name="mha")(desc_q, desc_kv, desc_kv)
@@ -39,7 +41,7 @@ class ResidualAttentionBlock(nn.Module):
             cat = jnp.concatenate([desc_q, message], axis=-1)
         ffn = PointMLP([2 * self.embed_dim, self.embed_dim],
                        norm=self.norm, axis_name=self.axis_name,
-                       name="fc")(cat, train=train)
+                       name="fc")(cat, train=train, mask=mask)
         return desc_q + ffn
 
 
@@ -56,18 +58,21 @@ class GraphAttentionNet(nn.Module):
     axis_name: str = None  # SyncBN mesh axis
 
     @nn.compact
-    def __call__(self, desc0, desc1, train: bool = True):
+    def __call__(self, desc0, desc1, train: bool = True,
+                 mask0=None, mask1=None):
+        """``mask0``/``mask1`` [B, N0]/[B, N1]: node validity per set,
+        forwarded as the batch-statistic row masks of the shared blocks."""
         for s in range(self.num_stages):
             self_block = ResidualAttentionBlock(
                 self.embed_dim, self.num_heads, self.attention,
                 self.use_offset, axis_name=self.axis_name, name=f"self_{s}")
-            desc0 = self_block(desc0, desc0, train=train)
-            desc1 = self_block(desc1, desc1, train=train)
+            desc0 = self_block(desc0, desc0, train=train, mask=mask0)
+            desc1 = self_block(desc1, desc1, train=train, mask=mask1)
 
             cross_block = ResidualAttentionBlock(
                 self.embed_dim, self.num_heads, self.attention,
                 self.use_offset, axis_name=self.axis_name,
                 name=f"cross_{s}")
-            desc0 = cross_block(desc0, desc1, train=train)
-            desc1 = cross_block(desc1, desc0, train=train)
+            desc0 = cross_block(desc0, desc1, train=train, mask=mask0)
+            desc1 = cross_block(desc1, desc0, train=train, mask=mask1)
         return desc0, desc1

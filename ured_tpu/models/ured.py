@@ -74,11 +74,14 @@ class URED(nn.Module):
     # ---- individual stages (usable for eval / retrieval pipelines) ----
 
     def encode_sources(self, src_points: Array, src_sem: Array,
-                       train: bool = True):
+                       train: bool = True, valid: Optional[Array] = None):
         """src_points [B, P, n, 3], src_sem [B, P] int ->
-        (codes [B, P, C], per_point [B, P, n, C])."""
+        (codes [B, P, C], per_point [B, P, n, C]).  ``valid`` [B, P]: part
+        slots that may contribute to BatchNorm statistics (padded slots
+        carry duplicated gather rows and must not)."""
         sem_f = self.embedding_layer(src_sem)
-        return self.src_encoder_all(src_points, sem_f, train=train)
+        return self.src_encoder_all(src_points, sem_f, train=train,
+                                    valid=valid)
 
     def encode_target(self, x: Array, tgt_sem: Array, train: bool = True):
         """x [B, N, 3], tgt_sem [B, N] int -> (code [B, C], pp [B, N, C])."""
@@ -86,13 +89,15 @@ class URED(nn.Module):
         return self.target_encoder_full(x, sem_f, train=train)
 
     def source_recon(self, src_codes: Array, src_pp: Array,
-                     train: bool = True) -> Array:
+                     train: bool = True,
+                     valid: Optional[Array] = None) -> Array:
         """Reconstruct source parts from (global code, per-point feature)
         (reference ``train.py:213-218``; code first in the concat)."""
         b, p, n, c = src_pp.shape
         code = jnp.broadcast_to(src_codes[:, :, None, :], (b, p, n, c))
         inp = jnp.concatenate([code, src_pp], axis=-1).reshape(b * p, n, 2 * c)
-        out = self.recon_decoder_src(inp, train=train)
+        mask = None if valid is None else valid.reshape(b * p, 1)
+        out = self.recon_decoder_src(inp, train=train, mask=mask)
         return out.reshape(b, p, n, 3)
 
     def target_recon(self, tgt_code: Array, per_point: Array,
@@ -113,9 +118,10 @@ class URED(nn.Module):
 
     def decode_params(self, tgt_code: Array, src_codes: Array,
                       per_point: Optional[Array] = None,
-                      train: bool = True) -> Array:
+                      train: bool = True,
+                      part_mask: Optional[Array] = None) -> Array:
         return self.param_decoder_full(tgt_code, src_codes, per_point,
-                                       train=train)
+                                       train=train, part_mask=part_mask)
 
     # ---- full training forward (reference train.py:186-280) ----
 
@@ -137,9 +143,19 @@ class URED(nn.Module):
         labels = batch["labels"]
         p_parts = cfg.MAX_NUM_PARTS
 
+        # valid part slots: padded slots gather duplicated source rows and
+        # carry zero pooled features — they must not contribute to BatchNorm
+        # batch statistics (the root cause of the round-2 stat collapse)
+        src_valid = batch.get("src_valid")
+        if src_valid is None:
+            counts = jnp.sum(jax.nn.one_hot(labels, p_parts), axis=-2)
+            src_valid = (counts > 0).astype(jnp.float32)
+
         src_codes, src_pp = self.encode_sources(
-            batch["src_points"], batch["src_sem"], train=train)
-        recon_src = self.source_recon(src_codes, src_pp, train=train)
+            batch["src_points"], batch["src_sem"], train=train,
+            valid=src_valid)
+        recon_src = self.source_recon(src_codes, src_pp, train=train,
+                                      valid=src_valid)
 
         tgt_code, per_point = self.encode_target(
             x, batch["tgt_sem"], train=train)
@@ -152,7 +168,7 @@ class URED(nn.Module):
             per_point, part_f, labels, train=train)
 
         params = self.decode_params(tgt_code, src_codes, per_point,
-                                    train=train)
+                                    train=train, part_mask=src_valid)
 
         deformed = get_shape(batch["src_mat"], params, param_def,
                              alpha=cfg.alpha)
