@@ -126,6 +126,29 @@ def test_corpus_eval_matches_per_batch():
                                np.asarray(single["cd_full"]), rtol=1e-5)
 
 
+def test_evaluate_corpus_dispatch_matches_per_batch():
+    """``corpus_eval: true`` (one lax.map dispatch for the whole split)
+    must reproduce the per-batch loop's metrics exactly — including a
+    trailing partial batch, which stack_batches drops and evaluate()
+    scores separately."""
+    import dataclasses
+
+    cfg = _tiny_cfg()
+    data = synthetic.generate(num_targets=5, num_sources=6, n_points=64,
+                              points_per_part=16, max_parts=8, seed=0)
+    model = URED(cfg)
+    init_batch = {k: jnp.asarray(v) for k, v in synthetic.make_batch(
+        data, np.arange(2), 8).items()}
+    variables = model.init(jax.random.PRNGKey(0), init_batch, train=False)
+
+    base = evaluate(cfg, model, variables, data)
+    cfg_corpus = dataclasses.replace(cfg, extras={"corpus_eval": True})
+    fused = evaluate(cfg_corpus, model, variables, data)
+    for key in base:
+        np.testing.assert_allclose(fused[key], base[key], rtol=1e-5,
+                                   err_msg=key)
+
+
 def test_bn_recalibration_recovers_collapsed_stats():
     """Poisoned (collapsed) BatchNorm running variances amplify eval-time
     input shift into 1e8-scale decoder outputs; one recalibration pass over

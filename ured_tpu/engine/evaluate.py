@@ -154,7 +154,8 @@ def make_eval_step(cfg: URedConfig, model: URED, k_candidates: int = 1,
 
 
 def make_corpus_eval(cfg: URedConfig, model: URED,
-                     k_candidates: int = 1):
+                     k_candidates: int = 1,
+                     num_real_sources: Optional[int] = None):
     """Whole-corpus evaluation as ONE device program: ``lax.map`` over
     stacked batches, so a full test split is a single dispatch.
 
@@ -169,7 +170,8 @@ def make_corpus_eval(cfg: URedConfig, model: URED,
     top1 [NB, B, P], sim_topk [NB, B, P, Kr], part_mask [NB, B, P]} —
     everything the host-side NDCG / cl-acc scoring consumes.
     """
-    step = make_eval_step(cfg, model, k_candidates)
+    step = make_eval_step(cfg, model, k_candidates,
+                          num_real_sources=num_real_sources)
 
     def corpus_eval(variables, batches, src_db):
         def one(batch):
@@ -493,27 +495,49 @@ def evaluate(cfg: URedConfig, model: URED, variables, data,
         variables = jax.device_put(variables, NamedSharding(mesh, P()))
         dp_sharding = NamedSharding(mesh, P("dp"))
 
-    step = jax.jit(make_eval_step(cfg, model, k_candidates=k_candidates,
-                                  mesh=mesh, num_real_sources=s_real))
-
     cds, cds_best, res, ndcgs = [], [], [], []
     cl_correct, cl_total = 0, 0
-    for i, batch in eval_batches(data, bs, num):
-        if dp_sharding is not None:
-            batch = {k: jax.device_put(v, dp_sharding)
-                     for k, v in batch.items()}
-        out = step(variables, batch, src_db)
+    pair_dist = getattr(data, "pair_dist", None)
+
+    def score_batch(out, offset):
+        nonlocal cl_correct, cl_total
         cds.append(np.asarray(out["cd_full"]))
         cds_best.append(np.asarray(out["cd_best"]))
         res.append(np.asarray(out["re_score"]))
-
-        c, t = cl_acc_for_batch(out, data, i, cfg.filter_threshold)
+        c, t = cl_acc_for_batch(out, data, offset, cfg.filter_threshold)
         cl_correct += c
         cl_total += t
-
-        pair_dist = getattr(data, "pair_dist", None)
         if pair_dist is not None:
-            ndcgs.extend(ndcg_for_batch(out, pair_dist, i, ndcg_sigma))
+            ndcgs.extend(ndcg_for_batch(out, pair_dist, offset, ndcg_sigma))
+
+    if cfg.extras.get("corpus_eval") and mesh is None:
+        # one-dispatch whole-corpus eval (lax.map over stacked batches):
+        # the per-batch python loop pays the host dispatch latency NB times
+        # — on high-latency hosts (remote-execution backends) this path
+        # makes the full split a single device program
+        corpus = jax.jit(make_corpus_eval(
+            cfg, model, k_candidates=k_candidates, num_real_sources=s_real))
+        outs = jax.device_get(
+            corpus(variables, stack_batches(data, bs, num), src_db))
+        for ib in range(num // bs):
+            score_batch({k: v[ib] for k, v in outs.items()}, ib * bs)
+        cut = (num // bs) * bs
+        if cut < num:  # stack_batches drops the remainder — score it here
+            step = jax.jit(make_eval_step(
+                cfg, model, k_candidates=k_candidates,
+                num_real_sources=s_real))
+            for i, batch in eval_batches(data, bs, num):
+                if i >= cut:
+                    score_batch(step(variables, batch, src_db), i)
+    else:
+        step = jax.jit(make_eval_step(
+            cfg, model, k_candidates=k_candidates, mesh=mesh,
+            num_real_sources=s_real))
+        for i, batch in eval_batches(data, bs, num):
+            if dp_sharding is not None:
+                batch = {k: jax.device_put(v, dp_sharding)
+                         for k, v in batch.items()}
+            score_batch(step(variables, batch, src_db), i)
 
     metrics = {
         "best_full_cd_loss": float(np.mean(np.concatenate(cds_best))),
