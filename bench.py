@@ -96,7 +96,8 @@ def bench_train_step(cfg, model, data, n_steps: int = 50):
     return dt
 
 
-def bench_emd(n: int = 1024, b: int = 8, iters: int = 5):
+def bench_emd(n: int = 1024, b: int = 8, iters: int = 5,
+              eps: float = 0.005, auction_iters: int = 50):
     import jax
     import jax.numpy as jnp
 
@@ -105,7 +106,7 @@ def bench_emd(n: int = 1024, b: int = 8, iters: int = 5):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(size=(b, n, 3)), jnp.float32)
     y = jnp.asarray(rng.uniform(size=(b, n, 3)), jnp.float32)
-    f = jax.jit(lambda x, y: emd_auction(x, y)[0])
+    f = jax.jit(lambda x, y: emd_auction(x, y, eps, auction_iters)[0])
     _force(f(x, y))
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -150,6 +151,9 @@ def main():
         max_parts=train_cfg.MAX_NUM_PARTS, seed=0)
     step_s = bench_train_step(train_cfg, URED(train_cfg), train_data)
     emd_ms = bench_emd()
+    # eval-quality regime (reference emd_module.py:16-19); the auction's
+    # convergence early-exit makes the 10k-iteration budget affordable
+    emd_eval_ms = bench_emd(iters=3, eps=0.002, auction_iters=10000)
 
     baseline_floor = 4.0  # targets/sec implied by the <5 min north star
     print(json.dumps({
@@ -162,6 +166,7 @@ def main():
             "train_step_ms": round(step_s * 1e3, 2),
             "train_samples_per_sec": round(train_cfg.batch_size / step_s, 1),
             "emd_1024pt_batch8_ms": round(emd_ms, 1),
+            "emd_eval_quality_ms": round(emd_eval_ms, 1),
         },
     }))
 

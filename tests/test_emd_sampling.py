@@ -37,6 +37,39 @@ def test_emd_close_to_hungarian():
     assert np.all(approx <= exact * 1.6 + 1e-3), (approx, exact)
 
 
+def test_emd_eval_quality_bounds_gap():
+    """Eval-quality regime (eps=0.002, iters=10000 — reference
+    ``emd_module.py:16-19``): the auction value must be within eps-optimal
+    of the Hungarian oracle.  Auction theory bounds the gap by N*eps per
+    bidder-sum; empirically the mean-per-point gap stays well under
+    2*eps at uniform clouds."""
+    rng = np.random.default_rng(7)
+    n = 256
+    x = jnp.asarray(rng.uniform(size=(2, n, 3)), jnp.float32)
+    y = jnp.asarray(rng.uniform(size=(2, n, 3)), jnp.float32)
+    dist, assign = emd_auction(x, y, eps=0.002, iters=10000)
+    # converged: fully bijective assignment
+    for b in range(2):
+        assert len(np.unique(np.asarray(assign[b]))) == n
+    approx = np.asarray(dist.mean(-1))
+    exact = emd_reference(x, y)
+    assert np.all(approx >= exact - 1e-5)
+    assert np.all(approx <= exact + 2 * 0.002), (approx, exact)
+
+
+def test_emd_while_loop_matches_full_iteration_budget():
+    """The convergence early-exit must be a pure optimization: once every
+    bidder is assigned the body is a fixed point, so a generous budget and
+    a just-enough budget give identical assignments."""
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.uniform(size=(1, 48, 3)), jnp.float32)
+    y = jnp.asarray(rng.uniform(size=(1, 48, 3)), jnp.float32)
+    d1, a1 = emd_auction(x, y, eps=0.002, iters=2000)
+    d2, a2 = emd_auction(x, y, eps=0.002, iters=100000)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2))
+
+
 def test_emd_assignment_mostly_bijective():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.uniform(size=(1, 64, 3)), jnp.float32)

@@ -179,11 +179,21 @@ def build_pair_archive(cfg: URedConfig, points: np.ndarray,
     n = src_points.shape[1]
     part_pts = target_part_clouds(points, labels, p, n, seed=cfg.seed)
     t = part_pts.shape[0]
-    flat = part_pts.reshape(t * p, n, 3)
-    mats = pairs.pair_distance_matrix(flat, src_points,
-                                      chunk_q=chunk_q, chunk_s=chunk_s)
     s = src_points.shape[0]
-    archive = {k: v.reshape(t, p, s) for k, v in mats.items()}
+    # only existing parts get distance rows (the reference's per-part stage 3
+    # iterates real parts only, ``generate_pair.py:87-122``); padded slots
+    # take a sentinel distance so downstream top-k/threshold logic never
+    # selects them.  At 6 real parts of 16 slots this is a 2.7x FLOP cut.
+    valid = (labels[..., None] == np.arange(p)).any(axis=1)    # [T, P]
+    vidx = np.flatnonzero(valid.ravel())
+    flat = part_pts.reshape(t * p, n, 3)
+    mats = pairs.pair_distance_matrix(flat[vidx], src_points,
+                                      chunk_q=chunk_q, chunk_s=chunk_s)
+    archive = {}
+    for k, v in mats.items():
+        full = np.full((t * p, s), 1e9, np.float32)
+        full[vidx] = v
+        archive[k] = full.reshape(t, p, s)
     archive["dist_src"] = pairs.source_pair_matrix(src_points, chunk=chunk_s)
     if cache_path:
         os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)

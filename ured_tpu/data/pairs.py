@@ -24,14 +24,25 @@ from ured_tpu.ops.dcd import calc_dcd
 Array = jax.Array
 
 
-@partial(jax.jit, static_argnames=("alpha",))
-def _pair_chunk(q: Array, s: Array, alpha: float = 1000.0):
-    """q [bq, n, 3], s [bs, m, 3] -> (dcd, cd_s, cd_m) each [bq, bs]."""
+@partial(jax.jit, static_argnames=("alpha", "fused"))
+def _pair_chunk(q: Array, s: Array, alpha: float = 1000.0,
+                fused: bool = False):
+    """q [bq, n, 3], s [bs, m, 3] -> (dcd, cd_s, cd_m) each [bq, bs].
+
+    ``fused`` dispatches to the per-pair VMEM Pallas kernel
+    (``ops.dcd_pallas``) — ~6x the XLA path's throughput at [1024]x[1024]
+    pairs on v5e (the composable path round-trips its gather/scatter
+    intermediates through HBM)."""
     bq, n, _ = q.shape
     bs, m, _ = s.shape
     qq = jnp.repeat(q, bs, axis=0)                    # [bq*bs, n, 3]
     ss = jnp.tile(s, (bq, 1, 1))                      # [bq*bs, m, 3]
-    dcd, cd_p, cd_t = calc_dcd(qq, ss, alpha=alpha)
+    if fused:
+        from ured_tpu.ops.dcd_pallas import pair_dcd_pallas
+
+        dcd, cd_p, cd_t = pair_dcd_pallas(qq, ss, alpha=alpha)
+    else:
+        dcd, cd_p, cd_t = calc_dcd(qq, ss, alpha=alpha)
     return (dcd.reshape(bq, bs), cd_p.reshape(bq, bs),
             cd_t.reshape(bq, bs))
 
@@ -44,7 +55,10 @@ def pair_distance_matrix(queries: np.ndarray, sources: np.ndarray,
     queries [Q, n, 3], sources [S, m, 3] -> {'dcd', 'cd_s', 'cd_m'} [Q, S]
     (the reference's per-part pickle keys, ``generate_pair.py:82``).
     """
+    from ured_tpu.ops.dcd_pallas import pair_dcd_eligible
+
     q_n, s_n = queries.shape[0], sources.shape[0]
+    fused = pair_dcd_eligible(queries.shape[1], sources.shape[1])
     out = {k: np.zeros((q_n, s_n), np.float32)
            for k in ("dcd", "cd_s", "cd_m")}
     src_dev = jnp.asarray(sources)
@@ -58,7 +72,7 @@ def pair_distance_matrix(queries: np.ndarray, sources: np.ndarray,
             pad_s = chunk_s - sj.shape[0]
             if pad_s:
                 sj = jnp.pad(sj, ((0, pad_s), (0, 0), (0, 0)))
-            dcd, cd_s, cd_m = _pair_chunk(qi, sj, alpha)
+            dcd, cd_s, cd_m = _pair_chunk(qi, sj, alpha=alpha, fused=fused)
             bq = chunk_q - pad_q
             bs = chunk_s - pad_s
             out["dcd"][i:i + bq, j:j + bs] = np.asarray(dcd)[:bq, :bs]

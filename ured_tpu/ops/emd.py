@@ -86,8 +86,24 @@ def _auction_single(cost: Array, eps: float, iters: int) -> Array:
     price = jnp.zeros((n,))
     owner = jnp.full((n,), -1, jnp.int32)
     assign = jnp.full((n,), -1, jnp.int32)
-    price, owner, assign = jax.lax.fori_loop(
-        0, iters, body, (price, owner, assign))
+    # Once every bidder is assigned the body is a fixed point (no
+    # unassigned bidder -> no bids -> no updates), so a bounded while_loop
+    # with a convergence predicate computes the SAME result as running all
+    # ``iters`` iterations — but the eval-quality regime (iters=10000,
+    # ``emd_module.py:16-19``) stops as soon as the assignment is complete.
+    # custom_vjp supplies the gradient, so while_loop's non-reverse-
+    # differentiability is irrelevant here.
+    def cond(carry):
+        i, _, _, assign = carry
+        return (i < iters) & jnp.any(assign < 0)
+
+    def step(carry):
+        i, price, owner, assign = carry
+        price, owner, assign = body(i, (price, owner, assign))
+        return i + 1, price, owner, assign
+
+    _, price, owner, assign = jax.lax.while_loop(
+        cond, step, (jnp.int32(0), price, owner, assign))
     return assign
 
 
