@@ -1,0 +1,142 @@
+"""Reference-scale end-to-end run: the full flagship CLI chain on one chip.
+
+Reproduces the reference's live working scale (≈2000 train targets x 6340
+source parts, 2048-point targets / 1024-point source parts, 300 epochs —
+``engine/test.py:121-139``, ``config/config_train_chair.json``) against the
+hermetic synthetic corpus exported as a PartNet-layout tree, and times every
+stage of the chain a real user runs:
+
+  generate -> export tree -> pair archives (train+test, on-device fused DCD)
+  -> label table -> 300-epoch train -> evaluate (+ best-of-k) -> vis export
+
+Usage:
+  python benchmarks/reference_scale.py out.json [--smoke] [--epochs N]
+
+``--smoke`` shrinks to 100 targets x 640 sources / 3 epochs to de-risk the
+full run (same code path, minutes instead of hours).  Writes a JSON with
+per-stage wall-clock seconds and the final metric trio.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def _enable_compile_cache():
+    """Persistent XLA/Mosaic compilation cache: on remote-compile backends a
+    single fresh program costs 60-200 s to compile; the chain's stages and
+    any rerun then hit the cache instead."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/ured_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def main(argv):
+    _enable_compile_cache()
+    smoke = "--smoke" in argv
+    args = [a for a in argv[1:] if not a.startswith("--")]
+    out_json = args[0] if args else (
+        "reference_scale_smoke.json" if smoke else "reference_scale.json")
+    epochs = 3 if smoke else 300
+    if "--epochs" in argv:
+        epochs = int(argv[argv.index("--epochs") + 1])
+
+    num_targets = 125 if smoke else 2500      # 80/20 -> 100/2000 train
+    num_sources = 640 if smoke else 6340
+    base = os.path.abspath(
+        "ref_scale_smoke_tree" if smoke else "ref_scale_tree")
+    log = os.path.join(base, "log")
+
+    from ured_tpu.data import synthetic
+
+    timings = {}
+    results = {"scale": {"targets": num_targets, "sources": num_sources,
+                         "epochs": epochs}}
+
+    def stage(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.monotonic()
+                print(f"=== stage: {name} ===", flush=True)
+
+            def __exit__(self, *exc):
+                timings[name] = round(time.monotonic() - self.t0, 1)
+                print(f"=== {name}: {timings[name]} s ===", flush=True)
+        return _T()
+
+    with stage("generate"):
+        data = synthetic.generate(
+            num_targets=num_targets, num_sources=num_sources,
+            n_points=2048, points_per_part=1024, max_parts=16, seed=0)
+
+    with stage("export_tree"):
+        synthetic.export_partnet_tree(
+            data, base, num_train=int(0.8 * num_targets))
+    del data
+
+    def cfg_dict(mode):
+        d = {
+            "base_dir": base, "category": "chair",
+            "num_source": num_sources, "mode": mode,
+            "epochs": epochs, "log_path": log,
+            "random_rot": True,
+        }
+        if mode == "test":
+            d.update({
+                "init_dm": True, "init_re": True,
+                "dm_model_path": os.path.join(log, "checkpoints"),
+                "re_model_path": os.path.join(log, "checkpoints"),
+            })
+        return d
+
+    os.makedirs(log, exist_ok=True)
+    cfg_train = os.path.join(base, "cfg_train.json")
+    cfg_test = os.path.join(base, "cfg_test.json")
+    with open(cfg_train, "w") as f:
+        json.dump(cfg_dict("train"), f)
+    with open(cfg_test, "w") as f:
+        json.dump(cfg_dict("test"), f)
+
+    # stage 3: pair archives (the train CLI would build them lazily; timed
+    # separately here because it is the chain's biggest offline cost)
+    from ured_tpu.data import pairs as pairs_cli
+
+    with stage("pair_archive_train"):
+        pairs_cli.main(["pairs", cfg_train])
+    with stage("pair_archive_test"):
+        pairs_cli.main(["pairs", cfg_test])
+
+    from ured_tpu.engine import train as train_cli
+
+    with stage("train"):
+        train_cli.main(["train", cfg_train])
+
+    from ured_tpu.engine import evaluate as eval_cli
+
+    with stage("evaluate"):
+        results["metrics"] = eval_cli.main(["evaluate", cfg_test])
+
+    from ured_tpu.engine import vis as vis_cli
+
+    with stage("vis"):
+        d = cfg_dict("test")
+        d["vis_max_targets"] = 16   # unknown keys land in cfg.extras
+        cfg_vis = os.path.join(base, "cfg_vis.json")
+        with open(cfg_vis, "w") as f:
+            json.dump(d, f)
+        results["vis_metrics"] = vis_cli.main(
+            ["vis", cfg_vis, os.path.join(base, "vis_out")])
+
+    results["stage_seconds"] = timings
+    results["total_seconds"] = round(sum(timings.values()), 1)
+    with open(out_json, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main(sys.argv)

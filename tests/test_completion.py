@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ured_tpu.models.completion import PCN, PointDiscriminator, VRCNet
+import pytest
 
 
 def test_pcn_shapes(rng):
@@ -24,6 +25,7 @@ def _tiny_vrcnet():
                   layers=(1, 1, 1, 1))
 
 
+@pytest.mark.slow
 def test_vrcnet_msap_skn_stages(rng):
     """The MSAP_SKN decoder's four stages (ref vrcnet.py:293-402):
     coarse_raw FC skeleton, coarse_high relational U-Net output, guided
@@ -55,6 +57,7 @@ def test_discriminator(rng):
     assert score.shape == (4, 1)
 
 
+@pytest.mark.slow
 def test_pcn_trains(rng):
     import optax
 
@@ -80,6 +83,7 @@ def test_pcn_trains(rng):
     assert float(loss_fn(params)) < l0
 
 
+@pytest.mark.slow
 def test_vrcnet_dual_path_kl(rng):
     import jax
 
@@ -102,6 +106,7 @@ def test_vrcnet_dual_path_kl(rng):
         assert name in v["params"], name
 
 
+@pytest.mark.slow
 def test_vrcnet_loss_decreases_in_harness(rng):
     """Multi-stage loss decrease through the completion harness (the
     VERDICT-required shape/loss-decrease check)."""

@@ -22,6 +22,8 @@ from ured_tpu.data.parametric import (
     get_default_param,
 )
 
+pytestmark = pytest.mark.slow  # end-to-end tier: run the core loop with -m 'not slow'
+
 
 def test_alpha_schedule_monotone():
     # the varying loss constant ramps 0.01 -> 1.0 (ref train.py:86-115)

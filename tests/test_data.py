@@ -223,3 +223,47 @@ def test_partnet_dataset_from_h5(tmp_path, rng):
     batch = ds.make_batch(np.arange(2), db)
     assert batch["src_points"].shape == (2, 4, 16, 3)
     assert batch["src_valid"].shape == (2, 4)
+
+
+def test_export_partnet_tree_roundtrip(tmp_path):
+    """A synthetic corpus exported as a PartNet-layout tree must load back
+    through the flagship real-data path (from_partnet) with identical
+    geometry and consistent semantics — the seam the reference-scale
+    end-to-end run rides."""
+    from ured_tpu.config import URedConfig
+    from ured_tpu.data import corpus as corpus_mod
+    from ured_tpu.data import synthetic
+
+    data = synthetic.generate(num_targets=5, num_sources=6, n_points=64,
+                              points_per_part=16, max_parts=8, seed=0)
+    out = synthetic.export_partnet_tree(data, str(tmp_path), num_train=4)
+    assert sorted(out) == ["datasplits", "sources_dir", "test", "train"]
+
+    cfg = URedConfig(base_dir=str(tmp_path), category="chair", num_source=6,
+                     mode="train", MAX_NUM_PARTS=8, num_target_points=64,
+                     num_part_points=16)
+    assert corpus_mod.real_data_available(cfg)
+    c = corpus_mod.from_partnet(
+        cfg, pair_cache=str(tmp_path / "pairs.npz"))
+    assert len(c) == 4
+    np.testing.assert_array_equal(c.points, data.points[:4])
+    np.testing.assert_array_equal(c.labels, data.labels[:4])
+    # source DB round-trips: points/A-matrices exact, semantic ids map back
+    # through the vocabulary labels
+    np.testing.assert_allclose(c.src_points, data.src_points, rtol=1e-6)
+    np.testing.assert_allclose(c.src_mats, data.src_mats, rtol=1e-6)
+    np.testing.assert_array_equal(c.src_sems, data.src_sems)
+    # real on-device pair archive replaced the generator's proxy rows:
+    # every valid part got a real distance row, padded slots the sentinel
+    valid = c.label_table >= 0
+    assert valid.any()
+    assert np.isfinite(c.pair_dist[valid]).all()
+    assert (c.pair_dist[~(c.num_parts[:, None] > np.arange(8))] >= 1e8).all()
+
+    cfg_test = URedConfig(base_dir=str(tmp_path), category="chair",
+                          num_source=6, mode="test", MAX_NUM_PARTS=8,
+                          num_target_points=64, num_part_points=16)
+    c_test = corpus_mod.from_partnet(
+        cfg_test, pair_cache=str(tmp_path / "pairs_test.npz"))
+    assert len(c_test) == 1
+    np.testing.assert_array_equal(c_test.points, data.points[4:])

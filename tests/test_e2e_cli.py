@@ -19,6 +19,9 @@ from ured_tpu.data import preprocessing
 from ured_tpu.data.splits import generate_splits_and_h5
 from ured_tpu.data.vocab import label_id
 
+pytestmark = pytest.mark.slow  # end-to-end / multi-process tier: run the core loop with -m 'not slow'
+
+
 NPP = 32  # points per part; 2 parts -> 64-point targets
 
 

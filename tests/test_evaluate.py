@@ -9,6 +9,7 @@ from ured_tpu.data import synthetic
 from ured_tpu.engine.evaluate import build_source_db, evaluate, make_eval_step
 from ured_tpu.models.ured import URED
 from ured_tpu.utils.metrics import dcd_relevance, ndcg_score
+import pytest
 
 
 def _tiny_cfg():
@@ -149,6 +150,7 @@ def test_evaluate_corpus_dispatch_matches_per_batch():
                                    err_msg=key)
 
 
+@pytest.mark.slow
 def test_bn_recalibration_recovers_collapsed_stats():
     """Poisoned (collapsed) BatchNorm running variances amplify eval-time
     input shift into 1e8-scale decoder outputs; one recalibration pass over

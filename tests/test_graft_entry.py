@@ -10,6 +10,10 @@ under exactly those hostile conditions.
 import os
 import subprocess
 import sys
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end / multi-process tier: run the core loop with -m 'not slow'
+
 
 
 def _run_dryrun(n: int, extra_env: dict) -> str:

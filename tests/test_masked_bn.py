@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ured_tpu.models.ffn import MaskedBatchNorm
+import pytest
 
 
 def test_masked_stats_equal_stats_of_valid_rows():
@@ -71,6 +72,7 @@ def test_eval_uses_running_stats_mask_irrelevant():
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2))
 
 
+@pytest.mark.slow
 def test_trained_running_vars_do_not_collapse():
     """Training with 75%-padded part slots keeps every URED running
     variance healthy (the collapse signature was ~1e-22) and eval without
@@ -110,3 +112,35 @@ def test_trained_running_vars_do_not_collapse():
     assert np.isfinite(plain["cd_loss_top1"])
     assert plain["cd_loss_top1"] <= 2.0 * recal["cd_loss_top1"] + 1e-4, \
         (plain["cd_loss_top1"], recal["cd_loss_top1"])
+
+
+def test_shifted_stats_match_two_pass():
+    """The one-pass shifted-variance mode (shift = running mean) must agree
+    with the two-pass baseline once the running mean tracks the data —
+    its validity contract.  (With a far-off shift — e.g. a freshly-zeroed
+    running mean against mean/std ~ 300 — the cancellation error is real;
+    that regime is why two_pass stays the default.)"""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(loc=30.0, scale=0.1, size=(8, 5, 16)),
+                    jnp.float32)
+    mask = jnp.asarray((rng.uniform(size=(8, 5)) > 0.4), jnp.float32)
+
+    for m in (None, mask):
+        outs = {}
+        for mode in ("two_pass", "shifted"):
+            bn = MaskedBatchNorm(stats_mode=mode)
+            vars0 = bn.init(jax.random.PRNGKey(0), x,
+                            use_running_average=False)
+            # tracking regime: running mean near the batch mean
+            bs = dict(vars0["batch_stats"])
+            bs["mean"] = jnp.full_like(bs["mean"], 30.0)
+            v1 = {"params": vars0.get("params", {}), "batch_stats": bs}
+            y, st2 = bn.apply(v1, x, use_running_average=False, mask=m,
+                              mutable=["batch_stats"])
+            outs[mode] = (np.asarray(y), st2["batch_stats"])
+        np.testing.assert_allclose(outs["shifted"][0], outs["two_pass"][0],
+                                   rtol=1e-3, atol=5e-4)
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(outs["shifted"][1][k]),
+                np.asarray(outs["two_pass"][1][k]), rtol=1e-3, atol=1e-5)

@@ -17,6 +17,9 @@ from ured_tpu.config import URedConfig
 from ured_tpu.data import synthetic
 from ured_tpu.parallel.mesh import resolve_mesh
 
+pytestmark = pytest.mark.slow  # end-to-end / multi-process tier: run the core loop with -m 'not slow'
+
+
 
 def _tiny_cfg(**kw):
     base = dict(batch_size=8, MAX_NUM_PARTS=8, num_target_points=64,

@@ -33,6 +33,10 @@ seed = seed_everything(7)
 assert seed == 7 + pid
 
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end / multi-process tier: run the core loop with -m 'not slow'
+
 
 n_local = jax.local_device_count()
 out = jax.pmap(lambda x: jax.lax.psum(x, "i"), axis_name="i")(

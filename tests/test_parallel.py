@@ -37,6 +37,7 @@ def test_mesh_shapes():
     assert mesh.shape["dp"] * mesh.shape["db"] == len(jax.devices())
 
 
+@pytest.mark.slow
 def test_sharded_step_dp1_exact_parity():
     """A 1-shard shard_map step is bitwise-equivalent math to the
     single-device step (the world-size-1 fast path of the reference,
@@ -62,6 +63,7 @@ def test_sharded_step_dp1_exact_parity():
     np.testing.assert_allclose(k1, k2, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_step_dp8_close_to_single_device():
     """8-way DP differs from single-device only through local-batch
     BatchNorm statistics (like torch DDP without SyncBN) — loss must be
@@ -262,6 +264,7 @@ def test_sharded_retrieval_uneven_k_vs_shard():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_step_resident_sources_db_sharded():
     """Resident-source training on a (dp=4, db=2) mesh: the source DB lives
     sharded over the db axis, batches carry only src_idx, and the GSPMD

@@ -15,6 +15,10 @@ from ured_tpu.engine.train import (
     train,
 )
 from ured_tpu.models.ured import URED
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end / multi-process tier: run the core loop with -m 'not slow'
+
 
 
 def _tiny_cfg(**kw):

@@ -194,7 +194,21 @@ def build_pair_archive(cfg: URedConfig, points: np.ndarray,
         full = np.full((t * p, s), 1e9, np.float32)
         full[vidx] = v
         archive[k] = full.reshape(t, p, s)
-    archive["dist_src"] = pairs.source_pair_matrix(src_points, chunk=chunk_s)
+    # dist_src depends only on the source DB, not the split — cache it per
+    # (category, num_source) so the test-split archive reuses the train
+    # split's [S, S] job (~20 min at the reference's 6340 sources)
+    ds_path = os.path.join(cfg.base_dir, "pairs",
+                           f"{cfg.category}_{cfg.num_source}_dist_src.npy")
+    if os.path.exists(ds_path):
+        dist_src = np.load(ds_path)
+        if dist_src.shape != (s, s):
+            dist_src = pairs.source_pair_matrix(src_points, chunk=chunk_s)
+    else:
+        dist_src = pairs.source_pair_matrix(src_points, chunk=chunk_s,
+                                            chunk_q=chunk_q)
+        os.makedirs(os.path.dirname(ds_path), exist_ok=True)
+        np.save(ds_path, dist_src)
+    archive["dist_src"] = dist_src
     if cache_path:
         os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
         pairs.save_pair_archive(cache_path, archive)

@@ -82,10 +82,17 @@ def pair_distance_matrix(queries: np.ndarray, sources: np.ndarray,
 
 
 def source_pair_matrix(sources: np.ndarray, chunk: int = 32,
-                       alpha: float = 1000.0) -> np.ndarray:
+                       alpha: float = 1000.0,
+                       chunk_q: Optional[int] = None) -> np.ndarray:
     """Symmetric source-to-source cd_m matrix (reference ``get_src_pair``;
-    consumed as ``dist_src`` by the similarity mask)."""
-    d = pair_distance_matrix(sources, sources, chunk, chunk, alpha)["cd_m"]
+    consumed as ``dist_src`` by the similarity mask).
+
+    Pass the archive job's ``chunk_q`` to reuse its compiled chunk shape —
+    a fresh (chunk_q, chunk_s) shape costs a full kernel compile (~200 s
+    over remote-compile backends)."""
+    d = pair_distance_matrix(sources, sources,
+                             chunk_q if chunk_q is not None else chunk,
+                             chunk, alpha)["cd_m"]
     return (d + d.T) / 2.0
 
 
@@ -168,8 +175,10 @@ def build_label_table(cd_m: np.ndarray, part_valid: np.ndarray,
 
 
 def save_pair_archive(path: str, matrices: Dict[str, np.ndarray]) -> None:
-    """One compressed npz instead of the reference's pickle-per-part."""
-    np.savez_compressed(path, **matrices)
+    """One npz instead of the reference's pickle-per-part.  Uncompressed:
+    f32 distance matrices barely compress, and zlib over the reference-scale
+    2.4 GB archive costs ~10 host-minutes on one core."""
+    np.savez(path, **matrices)
 
 
 def load_pair_archive(path: str) -> Dict[str, np.ndarray]:

@@ -16,7 +16,7 @@ range (``engine/global_variables.py:44``).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -108,14 +108,29 @@ def generate(num_targets: int = 64, num_sources: int = 64,
     src_sems = np.zeros((num_sources,), np.int32)
     src_half = np.zeros((num_sources, 3), np.float32)
     for s in range(num_sources):
+        # source parts live at their donor shape's assembly position (the
+        # reference keeps parts in shape coordinates — ``run_preprocessing
+        # .py`` samples the part mesh in place — so target-part-to-source
+        # DCD distances land in the 0.08-threshold regime of
+        # ``get_labels``, dataset_utils.py:1118)
         sem = [SEM_SEAT, SEM_BACK, SEM_LEG][s % 3]
+        seat_h = rng.uniform(0.3, 0.5)
+        seat_d = rng.uniform(0.3, 0.5)
         if sem == SEM_SEAT:
             half = rng.uniform([0.3, 0.03, 0.3], [0.5, 0.08, 0.5])
+            center = np.array([0.0, seat_h, 0.0])
         elif sem == SEM_BACK:
             half = rng.uniform([0.3, 0.3, 0.03], [0.5, 0.6, 0.08])
+            center = np.array([0.0, seat_h + half[1], -seat_d + half[2]])
         else:
-            half = rng.uniform([0.02, 0.15, 0.02], [0.05, 0.25, 0.05])
-        pts = sample_box_surface(rng, points_per_part, np.zeros(3), half)
+            leg_r = rng.uniform(0.02, 0.05)
+            half = np.array([leg_r, seat_h / 2.0, leg_r])
+            seat_w = rng.uniform(0.3, 0.5)
+            sx = rng.choice([-1.0, 1.0])
+            sz = rng.choice([-1.0, 1.0])
+            center = np.array([sx * (seat_w - leg_r), seat_h / 2.0,
+                               sz * (seat_d - leg_r)])
+        pts = sample_box_surface(rng, points_per_part, center, half)
         box = aabbox_of_points(pts)
         src_points[s] = pts
         src_mats[s] = compute_param_linear_equation(pts, box)
@@ -177,6 +192,78 @@ def generate(num_targets: int = 64, num_sources: int = 64,
         src_points=src_points, src_mats=src_mats, src_default=src_default,
         src_sems=src_sems, label_table=label_table,
         dist_src=dist_src.astype(np.float32), pair_dist=pair_dist)
+
+
+def export_partnet_tree(data: SyntheticData, base_dir: str,
+                        category: str = "chair",
+                        num_train: Optional[int] = None) -> dict:
+    """Write a SyntheticData corpus as a PartNet-layout data tree, so the
+    flagship real-data CLI chain (``data.pairs`` -> ``engine.train`` ->
+    ``engine.evaluate``/``vis``) runs on it exactly as it would on real
+    preprocessed PartNet (reference tree layout: per-part source h5 dir +
+    datasplit pickle + combined target h5s, ``engine/generate_combined_h5
+    .py`` / ``run_preprocessing.py:829-868``).
+
+    Targets are split ``num_train`` / rest-test (default 80/20).  Source
+    h5s carry the exact parametric models (points, A-matrices, default
+    params, aabb box) and vocabulary labels whose ``label_id`` round-trips
+    to the generator's semantic ids.  Returns the path dict.
+    """
+    import os
+
+    from ured_tpu.data import io
+    from ured_tpu.data.parametric import aabbox_of_points
+    from ured_tpu.data.vocab import IDX_TO_LABEL
+
+    s = data.src_points.shape[0]
+    t = data.points.shape[0]
+    num_train = int(0.8 * t) if num_train is None else num_train
+
+    src_dir = os.path.join(base_dir, "data_aabb_all_models", category, "h5")
+    split_dir = os.path.join(base_dir, "generated_datasplits")
+    os.makedirs(src_dir, exist_ok=True)
+    os.makedirs(split_dir, exist_ok=True)
+
+    from ured_tpu.data.parametric import compute_param_linear_equation
+
+    # unit-cube corner mesh (sources are box surfaces): gives the vis /
+    # OBJ-export path real vertices_mat payloads
+    corners = np.array([[x, y, z] for x in (-1, 1) for y in (-1, 1)
+                        for z in (-1, 1)], np.float64)
+    faces = np.array([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int32)
+
+    names = []
+    for i in range(s):
+        name = f"src{i}"
+        box = aabbox_of_points(data.src_points[i])
+        verts = corners * (box[3:6] / 2.0) + box[0:3]
+        io.save_part_h5(os.path.join(src_dir, name + ".h5"), io.PartModel(
+            box_params=box,
+            default_param=data.src_default[i],
+            points=data.src_points[i],
+            points_mat=data.src_mats[i],
+            sem_label=IDX_TO_LABEL[int(data.src_sems[i])],
+            vertices=verts,
+            vertices_mat=compute_param_linear_equation(verts, box),
+            faces=faces,
+            model_id=name))
+        names.append(name)
+
+    train_ids = [str(m) for m in data.model_ids[:num_train]]
+    test_ids = [str(m) for m in data.model_ids[num_train:]]
+    pickle_path = os.path.join(split_dir, f"{category}_{s}.pickle")
+    io.save_datasplits(pickle_path, names, train_ids, test_ids)
+
+    out = {"sources_dir": src_dir, "datasplits": pickle_path}
+    for mode, lo, hi in (("train", 0, num_train), ("test", num_train, t)):
+        path = os.path.join(split_dir, f"{category}_{s}_{mode}.h5")
+        io.save_targets_h5(path, data.points[lo:hi], data.labels[lo:hi],
+                           data.semantics[lo:hi], data.model_ids[lo:hi])
+        out[mode] = path
+    return out
 
 
 def make_batch(data: SyntheticData, idx: np.ndarray,

@@ -422,8 +422,11 @@ def train(cfg: URedConfig, num_steps: Optional[int] = None,
             flush(pending)
         pending = (step, metrics)
         end_of_epoch = (step + 1) % steps_per_epoch == 0
-        if checkpoint_dir and end_of_epoch \
-                and (epoch + 1) % cfg.save_epoch == 0:
+        # always persist the final epoch too, so short runs (epochs <
+        # save_epoch) leave a loadable checkpoint for evaluate/vis
+        if checkpoint_dir \
+                and ((end_of_epoch and (epoch + 1) % cfg.save_epoch == 0)
+                     or step + 1 == total_steps):
             from ured_tpu.utils.checkpoint import save_checkpoint
 
             save_checkpoint(checkpoint_dir, state, step=epoch)

@@ -202,7 +202,9 @@ def main(argv):
     if data.extras.get("origin") == "synthetic":
         # synthetic pair distances live on a ~0.1 scale, not DCD's 0.001
         cfg.extras.setdefault("ndcg_sigma", 0.1)
-    return run_vis(cfg, model, variables, data, source_db, out_dir)
+    mt = cfg.extras.get("vis_max_targets")
+    return run_vis(cfg, model, variables, data, source_db, out_dir,
+                   max_targets=int(mt) if mt is not None else None)
 
 
 if __name__ == "__main__":
