@@ -144,3 +144,36 @@ def test_shifted_stats_match_two_pass():
             np.testing.assert_allclose(
                 np.asarray(outs["shifted"][1][k]),
                 np.asarray(outs["two_pass"][1][k]), rtol=1e-3, atol=1e-5)
+
+
+def test_bn_stats_mode_extra_reaches_every_bn():
+    """cfg.extras['bn_stats_mode'] must thread down to every MaskedBatchNorm
+    in the assembled URED tree (encoders, residual decoders, graph stack),
+    and the two modes must produce near-identical forwards on fresh stats
+    (running mean == init zeros is the shifted mode's worst case at
+    unit-scale data — agreement here bounds the cancellation error)."""
+    from ured_tpu.config import URedConfig
+    from ured_tpu.data import synthetic
+    from ured_tpu.models.ured import URED
+
+    data = synthetic.generate(num_targets=2, num_sources=8, n_points=96,
+                              points_per_part=16, max_parts=8, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic.make_batch(data, np.arange(2), 8).items()}
+    outs = {}
+    for mode in ("two_pass", "shifted"):
+        cfg = URedConfig(batch_size=2, MAX_NUM_PARTS=8, num_target_points=96,
+                         num_part_points=16, target_latent_dim=32,
+                         source_latent_dim=32, sem_latent_dim=8,
+                         part_latent_dim=16)
+        cfg.extras["bn_stats_mode"] = mode
+        m = URED(cfg)
+        v = m.init(jax.random.PRNGKey(0), batch, train=True)
+        out, _ = m.apply(v, batch, train=True, mutable=["batch_stats"])
+        outs[mode] = np.asarray(out["deformed"])
+    # compare valid part slots only: padded slots carry garbage features
+    # (excluded from BN stats and from every loss) whose deform params
+    # amplify reduction-order noise arbitrarily
+    valid = np.asarray(batch["src_valid"]) > 0
+    np.testing.assert_allclose(outs["shifted"][valid], outs["two_pass"][valid],
+                               rtol=1e-3, atol=1e-2)

@@ -64,6 +64,7 @@ class DeformNetMatching(nn.Module):
     matching: bool = False
     attention: str = "softmax"
     axis_name: Any = None  # SyncBN mesh axis
+    bn_stats_mode: str = "two_pass"  # see MaskedBatchNorm.stats_mode
 
     @nn.compact
     def __call__(self, target_f, src_part_f, per_point_f=None,
@@ -84,6 +85,7 @@ class DeformNetMatching(nn.Module):
         gat = GraphAttentionNet(self.num_stages, self.graph_dim,
                                 self.num_heads, self.attention,
                                 self.use_offset, axis_name=self.axis_name,
+                                bn_stats_mode=self.bn_stats_mode,
                                 name="graph_attention_net")
         global_a, part_a = gat(global_node, src_part_f, train=train,
                                mask1=part_mask)
@@ -120,6 +122,7 @@ class ResidualNet(nn.Module):
     output_dim: int = 3
     dtype: Any = None
     axis_name: Any = None  # SyncBN mesh axis
+    bn_stats_mode: str = "two_pass"  # see MaskedBatchNorm.stats_mode
 
     @nn.compact
     def __call__(self, concat_feature, train: bool = True, mask=None):
@@ -128,6 +131,7 @@ class ResidualNet(nn.Module):
         assert concat_feature.shape[-1] == self.input_dim
         out = PointMLP([256, 256, 32, self.output_dim], norm="batch",
                        dtype=self.dtype, axis_name=self.axis_name,
+                       bn_stats_mode=self.bn_stats_mode,
                        name="residual_net")(concat_feature, train=train,
                                             mask=mask)
         return out.astype(jnp.float32)

@@ -64,6 +64,7 @@ class TargetEncoder(nn.Module):
     sem_size: int = 0  # 0 disables semantic fusion
     dtype: Any = None  # matmul compute dtype (bf16 for MXU full rate)
     axis_name: Any = None  # SyncBN mesh axis (reduced batch statistics)
+    bn_stats_mode: str = "two_pass"  # see MaskedBatchNorm.stats_mode
 
     @nn.compact
     def __call__(self, x, sem_f=None, train: bool = True, valid=None):
@@ -83,22 +84,24 @@ class TargetEncoder(nn.Module):
 
         h = x
         for f in (64, 64):       # mlp1
-            h = ConvBNRelu(f, dtype=self.dtype,
-                           axis_name=self.axis_name)(h, train=train,
-                                                     mask=valid)
+            h = ConvBNRelu(f, dtype=self.dtype, axis_name=self.axis_name,
+                           bn_stats_mode=self.bn_stats_mode)(
+                h, train=train, mask=valid)
         for f in (64, 128, 1024):  # mlp2
-            h = ConvBNRelu(f, dtype=self.dtype,
-                           axis_name=self.axis_name)(h, train=train,
-                                                     mask=valid)
+            h = ConvBNRelu(f, dtype=self.dtype, axis_name=self.axis_name,
+                           bn_stats_mode=self.bn_stats_mode)(
+                h, train=train, mask=valid)
 
         if self.sem_size and sem_f is not None:
             h = jnp.concatenate([h, sem_f.astype(h.dtype)], axis=-1)
             h = ConvBNRelu(1024, name="fuse_sem", dtype=self.dtype,
-                           axis_name=self.axis_name)(h, train=train,
-                                                     mask=valid)
+                           axis_name=self.axis_name,
+                           bn_stats_mode=self.bn_stats_mode)(h, train=train,
+                                                             mask=valid)
 
         per_point = ConvBNRelu(self.embedding_size, dtype=self.dtype,
                                axis_name=self.axis_name,
+                               bn_stats_mode=self.bn_stats_mode,
                                name="per_point_0")(h, train=train,
                                                    mask=valid)
         per_point = nn.Dense(self.embedding_size, dtype=self.dtype,

@@ -135,6 +135,7 @@ class PointMLP(nn.Module):
     norm: str = "batch"
     dtype: Any = None
     axis_name: Optional[str] = None
+    bn_stats_mode: str = "two_pass"  # see MaskedBatchNorm.stats_mode
 
     @nn.compact
     def __call__(self, x, train: bool = True, mask=None):
@@ -144,7 +145,8 @@ class PointMLP(nn.Module):
             if self.norm == "batch":
                 x = MaskedBatchNorm(momentum=0.9, epsilon=1e-5,
                                     dtype=self.dtype,
-                                    axis_name=self.axis_name)(
+                                    axis_name=self.axis_name,
+                                    stats_mode=self.bn_stats_mode)(
                     x, use_running_average=not train, mask=mask)
             elif self.norm == "layer":
                 x = nn.LayerNorm(dtype=self.dtype)(x)
@@ -164,12 +166,14 @@ class ConvBNRelu(nn.Module):
     features: int
     dtype: Any = None
     axis_name: Optional[str] = None
+    bn_stats_mode: str = "two_pass"  # see MaskedBatchNorm.stats_mode
 
     @nn.compact
     def __call__(self, x, train: bool = True, mask=None):
         x = nn.Dense(self.features, dtype=self.dtype)(x)
         x = MaskedBatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                            axis_name=self.axis_name)(
+                            axis_name=self.axis_name,
+                            stats_mode=self.bn_stats_mode)(
             x, use_running_average=not train, mask=mask)
         return nn.relu(x)
 

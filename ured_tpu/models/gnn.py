@@ -27,6 +27,7 @@ class ResidualAttentionBlock(nn.Module):
     use_offset: bool = False  # offset-attention (arXiv:2012.09688) variant
     norm: str = "batch"
     axis_name: str = None  # SyncBN mesh axis
+    bn_stats_mode: str = "two_pass"  # see MaskedBatchNorm.stats_mode
 
     @nn.compact
     def __call__(self, desc_q, desc_kv, train: bool = True, mask=None):
@@ -41,6 +42,7 @@ class ResidualAttentionBlock(nn.Module):
             cat = jnp.concatenate([desc_q, message], axis=-1)
         ffn = PointMLP([2 * self.embed_dim, self.embed_dim],
                        norm=self.norm, axis_name=self.axis_name,
+                       bn_stats_mode=self.bn_stats_mode,
                        name="fc")(cat, train=train, mask=mask)
         return desc_q + ffn
 
@@ -56,6 +58,7 @@ class GraphAttentionNet(nn.Module):
     attention: str = "softmax"
     use_offset: bool = False
     axis_name: str = None  # SyncBN mesh axis
+    bn_stats_mode: str = "two_pass"  # see MaskedBatchNorm.stats_mode
 
     @nn.compact
     def __call__(self, desc0, desc1, train: bool = True,
@@ -65,13 +68,15 @@ class GraphAttentionNet(nn.Module):
         for s in range(self.num_stages):
             self_block = ResidualAttentionBlock(
                 self.embed_dim, self.num_heads, self.attention,
-                self.use_offset, axis_name=self.axis_name, name=f"self_{s}")
+                self.use_offset, axis_name=self.axis_name,
+                bn_stats_mode=self.bn_stats_mode, name=f"self_{s}")
             desc0 = self_block(desc0, desc0, train=train, mask=mask0)
             desc1 = self_block(desc1, desc1, train=train, mask=mask1)
 
             cross_block = ResidualAttentionBlock(
                 self.embed_dim, self.num_heads, self.attention,
                 self.use_offset, axis_name=self.axis_name,
+                bn_stats_mode=self.bn_stats_mode,
                 name=f"cross_{s}")
             desc0 = cross_block(desc0, desc1, train=train, mask=mask0)
             desc1 = cross_block(desc1, desc0, train=train, mask=mask1)

@@ -46,28 +46,34 @@ class URED(nn.Module):
         # training numerics match single-chip (requires the explicit
         # shard_map step, which binds the axis name)
         bn_axis = "dp" if c.extras.get("sync_bn") else None
+        # "shifted" halves the HBM reads per BatchNorm (one-pass shifted
+        # sums with shift = the running mean); "two_pass" is the exactness
+        # baseline.  See MaskedBatchNorm.stats_mode.
+        bn_stats = c.extras.get("bn_stats_mode", "two_pass")
         self.target_encoder_full = TargetEncoder(
             embedding_size=c.target_latent_dim, sem_size=c.sem_latent_dim,
-            dtype=dtype, axis_name=bn_axis, name="target_encoder_full")
+            dtype=dtype, axis_name=bn_axis, bn_stats_mode=bn_stats,
+            name="target_encoder_full")
         self.src_encoder_all = TargetEncoder(
             embedding_size=c.source_latent_dim, is_src=True,
             sem_size=c.sem_latent_dim, dtype=dtype, axis_name=bn_axis,
-            name="src_encoder_all")
+            bn_stats_mode=bn_stats, name="src_encoder_all")
         self.recon_decoder_full = ResidualNet(
             c.target_latent_dim * 2, dtype=dtype, axis_name=bn_axis,
-            name="recon_decoder_full")
+            bn_stats_mode=bn_stats, name="recon_decoder_full")
         self.recon_decoder_src = ResidualNet(
             c.source_latent_dim * 2, dtype=dtype, axis_name=bn_axis,
-            name="recon_decoder_src")
+            bn_stats_mode=bn_stats, name="recon_decoder_src")
         self.re_order_decoder_full = ResidualNet(
             c.target_latent_dim * 2, dtype=dtype, axis_name=bn_axis,
-            name="re_order_decoder_full")
+            bn_stats_mode=bn_stats, name="re_order_decoder_full")
         self.param_decoder_full = DeformNetMatching(
             input_dim=c.source_latent_dim * 3,
             graph_dim=c.source_latent_dim,
             part_latent_dim=c.part_latent_dim,
             max_num_parts=c.MAX_NUM_PARTS,
-            matching=False, axis_name=bn_axis, name="param_decoder_full")
+            matching=False, axis_name=bn_axis, bn_stats_mode=bn_stats,
+            name="param_decoder_full")
         self.embedding_layer = nn.Embed(
             c.num_semantic_classes, c.sem_latent_dim, name="embedding_layer")
 
