@@ -115,10 +115,22 @@ def test_calc_dcd_full_matches_calc_dcd(rng):
 def test_mahalanobis_and_selection(rng):
     t = jnp.asarray(rng.normal(size=(3, 8)), jnp.float32)
     mu = jnp.asarray(rng.normal(size=(5, 8)), jnp.float32)
-    var = jnp.zeros((5, 8), jnp.float32)
-    d = compute_mahalanobis(t, mu, var)
+    sig = jnp.zeros((5, 8), jnp.float32)
+    d = compute_mahalanobis(t, mu, sig)
     assert d.shape == (3, 5)
     assert np.all(np.asarray(d) >= 0)
+    # reference contract (construct_candidates.py:12-26): sigma multiplies —
+    # sigmoid(0) = 0.5 precision on every dim -> 0.25x the plain sq-L2 of
+    # the sigmas=None path; clip_vec clamps queries to [-100, 100]
+    d_none = compute_mahalanobis(t, mu, None)
+    np.testing.assert_allclose(np.asarray(d),
+                               np.asarray(d_none) * (0.5 + 1e-6) ** 2,
+                               rtol=1e-5)
+    big = t + 1000.0
+    d_clip = compute_mahalanobis(big, mu, None, clip_vec=True)
+    exp = jnp.sum(jnp.square(jnp.clip(big, -100, 100)[:, None] - mu[None]),
+                  axis=-1)
+    np.testing.assert_allclose(np.asarray(d_clip), np.asarray(exp), rtol=1e-5)
 
     g = np.random.default_rng(0)
     assert select_sources("exhaustive", 4, 2, g).shape == (8,)

@@ -49,6 +49,9 @@ class URedConfig:
     cl_k: int = 40
     MAX_NUM_PARTS: int = 16
     filter_threshold: float = 2e-2
+    # pooling/n_knn are carried for config-file compatibility; like the
+    # reference, no live code path reads them (they belong to the legacy
+    # gc3d/VN encoder experiments, network/gc3d_encoder.py)
     pooling: str = "max"
     n_knn: int = 20
 
@@ -78,11 +81,16 @@ class URedConfig:
     use_contrast_loss: float = 0.5
     use_param_loss: float = 0.0
     init_p_m_loss: int = -1
+    # present in every reference config but consumed by no reference code
+    # (grep: only config/*.json mention it); carried for file compatibility
     use_deformed_pc_consistency: float = 10.0
     use_residuals_reg: float = 3.0
     use_recon: float = 30.0
 
     # --- misc reference knobs ---
+    # share_src_latent: dead in the reference too (config-only).  clip_vec
+    # feeds the legacy Mahalanobis retrieval distance
+    # (utils/retrieval_extras.py::compute_mahalanobis).
     share_src_latent: bool = False
     clip_vec: bool = False
 

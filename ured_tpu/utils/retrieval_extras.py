@@ -24,17 +24,28 @@ Array = jax.Array
 
 
 def compute_mahalanobis(target_code: Array, source_mu: Array,
-                        source_var: Array,
-                        activation=jax.nn.sigmoid) -> Array:
+                        source_sigma: Optional[Array] = None,
+                        activation=jax.nn.sigmoid,
+                        clip_vec: bool = False) -> Array:
     """Mahalanobis-style retrieval distance of a target code against
-    diagonal source Gaussians.
+    diagonal source Gaussians (reference
+    ``train_utils/construct_candidates.py:12-26`` exactly: sigma acts as a
+    multiplicative per-dimension precision — ``sum((q - mu) * sigma)^2`` —
+    not a divisor; ``sigmas=None`` degrades to plain squared L2, and
+    ``clip_vec`` clamps query codes to [-100, 100] first, the config's
+    ``clip_vec`` knob).
 
-    target_code [B, C], source_mu [S, C], source_var [S, C] (pre-activation
-    variances, squashed like the reference) -> distances [B, S].
+    target_code [B, C], source_mu [S, C], source_sigma [S, C]
+    (pre-activation, squashed by ``activation``) -> distances [B, S].
     """
-    var = activation(source_var) + 1e-6
+    if source_sigma is not None and activation is not None:
+        source_sigma = activation(source_sigma) + 1e-6
+    if clip_vec:
+        target_code = jnp.clip(target_code, -100.0, 100.0)
     diff = target_code[:, None, :] - source_mu[None, :, :]
-    return jnp.sum(diff * diff / var[None], axis=-1)
+    if source_sigma is not None:
+        diff = diff * source_sigma[None]
+    return jnp.sum(jnp.square(diff), axis=-1)
 
 
 def select_sources(strategy: str, num_sources: int, batch_size: int,
