@@ -49,12 +49,22 @@ def _pair_chunk(q: Array, s: Array, alpha: float = 1000.0,
 
 def pair_distance_matrix(queries: np.ndarray, sources: np.ndarray,
                          chunk_q: int = 16, chunk_s: int = 64,
-                         alpha: float = 1000.0) -> Dict[str, np.ndarray]:
+                         alpha: float = 1000.0,
+                         progress: bool = True) -> Dict[str, np.ndarray]:
     """Full pair-distance tensor between query parts and source parts.
 
     queries [Q, n, 3], sources [S, m, 3] -> {'dcd', 'cd_s', 'cd_m'} [Q, S]
     (the reference's per-part pickle keys, ``generate_pair.py:82``).
+
+    Dispatch is pipelined per query row: all S/chunk_s chunk calls of a row
+    are enqueued asynchronously, then read back in one batched
+    ``jax.device_get`` — a per-chunk synchronous read stalls the dispatch
+    queue on every round trip, which over a remote-execution tunnel
+    (~5 ms/read) costs more than the chunk's device time at reference
+    scale (~74k chunks).  Row outputs are [3, chunk_q, S] f32 — ~KBs.
     """
+    import time
+
     from ured_tpu.ops.dcd_pallas import pair_dcd_eligible
 
     q_n, s_n = queries.shape[0], sources.shape[0]
@@ -62,22 +72,36 @@ def pair_distance_matrix(queries: np.ndarray, sources: np.ndarray,
     out = {k: np.zeros((q_n, s_n), np.float32)
            for k in ("dcd", "cd_s", "cd_m")}
     src_dev = jnp.asarray(sources)
-    for i in range(0, q_n, chunk_q):
+    n_rows = (q_n + chunk_q - 1) // chunk_q
+    t0 = time.monotonic()
+    next_report = t0 + 60.0
+    for row, i in enumerate(range(0, q_n, chunk_q)):
         qi = jnp.asarray(queries[i:i + chunk_q])
         pad_q = chunk_q - qi.shape[0]
         if pad_q:
             qi = jnp.pad(qi, ((0, pad_q), (0, 0), (0, 0)))
+        row_dev = []
         for j in range(0, s_n, chunk_s):
             sj = src_dev[j:j + chunk_s]
             pad_s = chunk_s - sj.shape[0]
             if pad_s:
                 sj = jnp.pad(sj, ((0, pad_s), (0, 0), (0, 0)))
-            dcd, cd_s, cd_m = _pair_chunk(qi, sj, alpha=alpha, fused=fused)
-            bq = chunk_q - pad_q
-            bs = chunk_s - pad_s
-            out["dcd"][i:i + bq, j:j + bs] = np.asarray(dcd)[:bq, :bs]
-            out["cd_s"][i:i + bq, j:j + bs] = np.asarray(cd_s)[:bq, :bs]
-            out["cd_m"][i:i + bq, j:j + bs] = np.asarray(cd_m)[:bq, :bs]
+            row_dev.append(_pair_chunk(qi, sj, alpha=alpha, fused=fused))
+        row_host = jax.device_get(row_dev)    # one batched transfer per row
+        bq = chunk_q - pad_q
+        for (dcd, cd_s, cd_m), j in zip(row_host, range(0, s_n, chunk_s)):
+            bs = min(chunk_s, s_n - j)
+            out["dcd"][i:i + bq, j:j + bs] = dcd[:bq, :bs]
+            out["cd_s"][i:i + bq, j:j + bs] = cd_s[:bq, :bs]
+            out["cd_m"][i:i + bq, j:j + bs] = cd_m[:bq, :bs]
+        now = time.monotonic()
+        if progress and now >= next_report:
+            done = row + 1
+            eta = (now - t0) / done * (n_rows - done)
+            print(f"pair job: row {done}/{n_rows} "
+                  f"({100.0 * done / n_rows:.0f}%, eta {eta / 60.0:.1f} min)",
+                  flush=True)
+            next_report = now + 60.0
     return out
 
 
