@@ -101,6 +101,34 @@ def test_vn_encoder_shapes(rng):
     assert pp.shape == (1, 32, 16)
 
 
+def test_vn_neighbor_maxpool_equivariance(rng):
+    # neighbor-axis pool: [B, N, k, C, 3] -> [B, N, C, 3]
+    x = jnp.asarray(rng.normal(size=(2, 5, 7, 4, 3)), jnp.float32)
+    r = _rot(rng)
+    mp = VNMaxPool(axis=2)
+    vp = mp.init(jax.random.PRNGKey(0), x)
+    out = mp.apply(vp, x)
+    assert out.shape == (2, 5, 4, 3)
+    np.testing.assert_allclose(
+        np.asarray(mp.apply(vp, _apply_rot(x, r))),
+        np.asarray(_apply_rot(out, r)), atol=1e-4)
+
+
+def test_vn_encoder_from_config_honors_pooling_keys(rng):
+    from ured_tpu.config import URedConfig
+
+    cfg = URedConfig(target_latent_dim=16, n_knn=6, pooling="max")
+    m = VNEncoder.from_config(cfg)
+    assert (m.k, m.pooling, m.embedding_size) == (6, "max", 16)
+    pts = jnp.asarray(rng.normal(size=(1, 32, 3)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), pts, train=False)
+    # pooling='max' instantiates learned-direction neighbor pools
+    flat = jax.tree_util.tree_leaves_with_path(v["params"])
+    assert any("VNMaxPool" in jax.tree_util.keystr(p) for p, _ in flat)
+    g, pp = m.apply(v, pts, train=False)
+    assert g.shape == (1, 16) and pp.shape == (1, 32, 16)
+
+
 def test_gcn3d_encoder(rng):
     pts = jnp.asarray(rng.normal(size=(2, 64, 3)), jnp.float32)
     m = GCN3DEncoder(global_dim=32, per_point_dim=16, neighbor_num=8)

@@ -49,9 +49,9 @@ class URedConfig:
     cl_k: int = 40
     MAX_NUM_PARTS: int = 16
     filter_threshold: float = 2e-2
-    # pooling/n_knn are carried for config-file compatibility; like the
-    # reference, no live code path reads them (they belong to the legacy
-    # gc3d/VN encoder experiments, network/gc3d_encoder.py)
+    # pooling/n_knn parameterize the VN encoder family (ref
+    # network/VN/vn_encoder.py:12,31 reads cfg['n_knn']/cfg['pooling']);
+    # consumed by models.vn.VNEncoder.from_config / VNRetrieval.from_config.
     pooling: str = "max"
     n_knn: int = 20
 

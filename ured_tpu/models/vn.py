@@ -94,18 +94,26 @@ class VNLinearLeakyReLU(nn.Module):
 
 
 class VNMaxPool(nn.Module):
-    """Pool over the points axis by the learned-direction inner product
-    (ref ``VNMaxPool:135``).  x: [B, N, C, 3] -> [B, C, 3]."""
+    """Pool over one axis by the learned-direction inner product
+    (ref ``VNMaxPool:135``): per channel, keep the sample whose projection
+    onto a learned (equivariantly transformed) direction is largest.
+
+    ``axis`` selects the pooled sample axis: the default 1 pools points
+    ([B, N, C, 3] -> [B, C, 3]); axis=2 pools kNN neighbors inside edge
+    convs ([B, N, k, C, 3] -> [B, N, C, 3]), the role ``cfg['pooling'] ==
+    'max'`` plays in ref ``vn_encoder.py:31-40``."""
+
+    axis: int = 1
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         w = self.param("dir_kernel", nn.initializers.lecun_normal(),
                        (x.shape[-2], x.shape[-2]))
-        d = jnp.einsum("bncv,cd->bndv", x, w)
-        dot = jnp.sum(x * d, axis=-1)                     # [B, N, C]
-        idx = jnp.argmax(dot, axis=1)                     # [B, C]
-        return jnp.take_along_axis(
-            x, idx[:, None, :, None], axis=1)[:, 0]       # [B, C, 3]
+        d = jnp.einsum("...cv,cd->...dv", x, w)
+        dot = jnp.sum(x * d, axis=-1)                     # [..., C]
+        idx = jnp.argmax(dot, axis=self.axis)
+        sel = jnp.expand_dims(idx[..., None], self.axis)  # [..., 1, C, 1]
+        return jnp.take_along_axis(x, sel, axis=self.axis).squeeze(self.axis)
 
 
 def vn_mean_pool(x: Array) -> Array:
@@ -155,47 +163,76 @@ class VNEncoder(nn.Module):
     embedding_size: int = 256
     k: int = 20
     per_point: bool = True
-    pooling: str = "mean"  # 'mean' | 'max'
+    pooling: str = "mean"  # 'mean' | 'max' — neighbor pool, ref vn_encoder.py:31
+
+    def _pool_k(self, e: Array) -> Array:
+        """Neighbor pool [B, N, k, C, 3] -> [B, N, C, 3] per cfg['pooling']."""
+        if self.pooling == "max":
+            return VNMaxPool(axis=2)(e)
+        return jnp.mean(e, axis=2)
 
     @nn.compact
     def __call__(self, points: Array, train: bool = True):
         # points: [B, N, 3] -> vector features [B, N, 1, 3]
         x = points[..., None, :]
-        x = vn_graph_feature(x, self.k, cross=True)       # [B, N, k, 3, 3]
-        x = VNLinearLeakyReLU(64 // 3)(x, train=train)
-        x = jnp.mean(x, axis=2)                           # pool over k
+        e = vn_graph_feature(x, self.k, cross=True)       # [B, N, k, 3, 3]
+        e = VNLinearLeakyReLU(64 // 3)(e, train=train)
+        x1 = self._pool_k(e)
 
-        feats = []
+        feats = [x1]
+        x = x1
         for ch in (64 // 3, 128 // 3, 256 // 3):
             e = vn_graph_feature(x, self.k)               # [B, N, k, 2C, 3]
             e = VNLinearLeakyReLU(ch)(e, train=train)
-            x = jnp.mean(e, axis=2)
+            x = self._pool_k(e)
             feats.append(x)
 
         x = jnp.concatenate(feats, axis=-2)               # [B, N, Csum, 3]
-        x = VNLinearLeakyReLU(1024 // 3)(x, train=train)
-        inv, _ = VNStdFeature()(x, train=train)           # [B, N, C, 3] inv
+        x = VNLinearLeakyReLU(1024 // 3,
+                              share_nonlinearity=True)(x, train=train)
+        # global-context concat before the invariant map (ref :66-67)
+        x_mean = jnp.broadcast_to(jnp.mean(x, axis=1, keepdims=True), x.shape)
+        x = jnp.concatenate([x, x_mean], axis=-2)         # [B, N, 2C', 3]
+        inv, _ = VNStdFeature()(x, train=train)           # [B, N, 2C', 3] inv
         b, n = inv.shape[0], inv.shape[1]
         inv = inv.reshape(b, n, -1)
 
-        if self.pooling == "max":
-            g = jnp.max(inv, axis=1)
-        else:
-            g = jnp.mean(inv, axis=1)
+        # invariant head: max+avg global pools -> 512 BN leaky -> embedding
+        # (ref vn_encoder.py:74-81)
+        g = jnp.concatenate([jnp.max(inv, axis=1),
+                             jnp.mean(inv, axis=1)], axis=-1)
+        g = nn.Dense(512)(g)
+        g = nn.BatchNorm(use_running_average=not train,
+                         momentum=0.9, epsilon=1e-5)(g)
+        g = nn.leaky_relu(g, negative_slope=0.2)
         g = nn.Dense(self.embedding_size)(g)
         if not self.per_point:
             return g
         pp = nn.Dense(self.embedding_size)(inv)
         return g, pp
 
+    @classmethod
+    def from_config(cls, cfg, per_point: bool = True) -> "VNEncoder":
+        """Build from a :class:`URedConfig` the way ref ``vn_encoder.py:8``
+        reads its cfg dict (``n_knn``, ``pooling``, ``target_latent_dim``)."""
+        return cls(embedding_size=cfg.target_latent_dim, k=cfg.n_knn,
+                   per_point=per_point, pooling=cfg.pooling)
+
 
 class VNRetrieval(nn.Module):
-    """Global-only VN encoder for retrieval (ref ``vn_retrieval.py:8``)."""
+    """Global-only VN encoder for retrieval (ref ``vn_retrieval.py:8`` —
+    identical to ``vn_encoder`` minus the per-point head)."""
 
     embedding_size: int = 256
     k: int = 20
+    pooling: str = "mean"
 
     @nn.compact
     def __call__(self, points: Array, train: bool = True) -> Array:
-        return VNEncoder(self.embedding_size, self.k,
-                         per_point=False)(points, train=train)
+        return VNEncoder(self.embedding_size, self.k, per_point=False,
+                         pooling=self.pooling)(points, train=train)
+
+    @classmethod
+    def from_config(cls, cfg) -> "VNRetrieval":
+        return cls(embedding_size=cfg.target_latent_dim, k=cfg.n_knn,
+                   pooling=cfg.pooling)
