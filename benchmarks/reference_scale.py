@@ -84,6 +84,10 @@ def main(argv):
             "num_source": num_sources, "mode": mode,
             "epochs": epochs, "log_path": log,
             "random_rot": True,
+            # restartability under benchmarks/supervise.py: pick the train
+            # loop up from the newest full-TrainState checkpoint
+            "resume": True,
+            "save_epoch": 20,
         }
         if mode == "test":
             d.update({

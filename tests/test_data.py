@@ -83,6 +83,29 @@ def test_pair_matrix_matches_direct(rng):
                                    rtol=1e-4)
 
 
+def test_pair_matrix_resume_matches_fresh(tmp_path, rng):
+    q = rng.normal(size=(6, 16, 3)).astype(np.float32)
+    s = rng.normal(size=(5, 16, 3)).astype(np.float32)
+    fresh = pairs.pair_distance_matrix(q, s, chunk_q=2, chunk_s=2)
+
+    # simulate a job killed after 1 of 3 row blocks: run fully, then rewind
+    # the marker and corrupt the un-marked rows — the resumed run must
+    # recompute exactly those rows
+    rdir = str(tmp_path / "partial")
+    pairs.pair_distance_matrix(q, s, chunk_q=2, chunk_s=2, resume_dir=rdir)
+    (tmp_path / "partial" / "rows_done").write_text("1")
+    for k in ("dcd", "cd_s", "cd_m"):
+        m = np.lib.format.open_memmap(str(tmp_path / "partial" / f"{k}.npy"),
+                                      mode="r+")
+        m[2:] = -777.0
+        del m
+    resumed = pairs.pair_distance_matrix(q, s, chunk_q=2, chunk_s=2,
+                                         resume_dir=rdir)
+    for k in fresh:
+        np.testing.assert_allclose(resumed[k], fresh[k], rtol=1e-5)
+        assert not np.any(resumed[k] == -777.0)
+
+
 def test_build_label_table_semantics():
     # 2 targets x 2 parts, 4 sources; distances crafted so that:
     # part (0,0): nearest source 1 is wrong-sem, source 0 right-sem -> 0

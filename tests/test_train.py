@@ -100,6 +100,40 @@ def test_train_loop_smoke():
     assert np.isfinite(float(metrics["all_loss"]))
 
 
+def test_train_resume_from_checkpoint(tmp_path):
+    """The `resume` extra restores the newest full-TrainState checkpoint and
+    skips the epochs it covers — an interrupted run continues instead of
+    restarting (capability the reference lacks: its checkpoints drop
+    optimizer state, ref train.py:349-358)."""
+    cfg = _tiny_cfg()
+    cfg.extras["synthetic_targets"] = 8
+    cfg.extras["synthetic_sources"] = 6
+    cfg.epochs = 2
+    cfg.save_epoch = 1
+    ckpt = str(tmp_path / "ck")
+
+    # uninterrupted 2-epoch run (4 steps at bs covering 8 targets -> 2/epoch)
+    full_state, _ = train(cfg, log_every=100, checkpoint_dir=ckpt)
+
+    # interrupted run: epoch 0 only, checkpointed, then resumed to the end
+    cfg2 = _tiny_cfg()
+    cfg2.extras.update(synthetic_targets=8, synthetic_sources=6)
+    cfg2.epochs = 2
+    cfg2.save_epoch = 1
+    ckpt2 = str(tmp_path / "ck2")
+    steps_per_epoch = 8 // cfg2.batch_size
+    train(cfg2, num_steps=steps_per_epoch, log_every=100,
+          checkpoint_dir=ckpt2)
+    cfg2.extras["resume"] = True
+    resumed_state, _ = train(cfg2, log_every=100, checkpoint_dir=ckpt2)
+
+    assert int(resumed_state.step) == int(full_state.step)
+    a = np.asarray(
+        resumed_state.params["target_encoder_full"]["fc"]["kernel"])
+    b = np.asarray(full_state.params["target_encoder_full"]["fc"]["kernel"])
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_train_on_partial_targets():
     cfg = _tiny_cfg()
     cfg.extras["synthetic_targets"] = 8

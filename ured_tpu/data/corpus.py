@@ -13,6 +13,7 @@ input pipeline, and ``engine.evaluate`` consume interchangeably.
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass, field
 from typing import Dict, Optional
 
@@ -187,8 +188,12 @@ def build_pair_archive(cfg: URedConfig, points: np.ndarray,
     valid = (labels[..., None] == np.arange(p)).any(axis=1)    # [T, P]
     vidx = np.flatnonzero(valid.ravel())
     flat = part_pts.reshape(t * p, n, 3)
+    # row-resumable partials: a killed/restarted job (wedged remote RPC,
+    # watchdog restart) resumes from the last finished row block
+    resume_dir = (cache_path + ".partial") if cache_path else None
     mats = pairs.pair_distance_matrix(flat[vidx], src_points,
-                                      chunk_q=chunk_q, chunk_s=chunk_s)
+                                      chunk_q=chunk_q, chunk_s=chunk_s,
+                                      resume_dir=resume_dir)
     archive = {}
     for k, v in mats.items():
         full = np.full((t * p, s), 1e9, np.float32)
@@ -204,14 +209,18 @@ def build_pair_archive(cfg: URedConfig, points: np.ndarray,
         if dist_src.shape != (s, s):
             dist_src = pairs.source_pair_matrix(src_points, chunk=chunk_s)
     else:
-        dist_src = pairs.source_pair_matrix(src_points, chunk=chunk_s,
-                                            chunk_q=chunk_q)
         os.makedirs(os.path.dirname(ds_path), exist_ok=True)
+        dist_src = pairs.source_pair_matrix(
+            src_points, chunk=chunk_s, chunk_q=chunk_q,
+            resume_dir=ds_path + ".partial")
         np.save(ds_path, dist_src)
+        shutil.rmtree(ds_path + ".partial", ignore_errors=True)
     archive["dist_src"] = dist_src
     if cache_path:
         os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
         pairs.save_pair_archive(cache_path, archive)
+        if resume_dir:
+            shutil.rmtree(resume_dir, ignore_errors=True)
     return archive
 
 

@@ -47,10 +47,50 @@ def _pair_chunk(q: Array, s: Array, alpha: float = 1000.0,
             cd_t.reshape(bq, bs))
 
 
+def _resume_state(resume_dir: str, q_n: int, s_n: int):
+    """Memmap-backed partial outputs + completed-row marker, so an
+    interrupted job (host crash, wedged device RPC killed by a watchdog)
+    restarts from the last finished row block instead of from zero."""
+    import os
+
+    os.makedirs(resume_dir, exist_ok=True)
+    out = {}
+    for k in ("dcd", "cd_s", "cd_m"):
+        p = os.path.join(resume_dir, f"{k}.npy")
+        if os.path.exists(p):
+            m = np.lib.format.open_memmap(p, mode="r+")
+            if m.shape != (q_n, s_n):
+                m = np.lib.format.open_memmap(p, mode="w+", dtype=np.float32,
+                                              shape=(q_n, s_n))
+        else:
+            m = np.lib.format.open_memmap(p, mode="w+", dtype=np.float32,
+                                          shape=(q_n, s_n))
+        out[k] = m
+    marker = os.path.join(resume_dir, "rows_done")
+    start = 0
+    if os.path.exists(marker):
+        try:
+            start = int(open(marker).read().strip() or 0)
+        except ValueError:
+            start = 0
+    return out, marker, start
+
+
+def _mark_rows(marker: str, rows_done: int) -> None:
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(rows_done))
+    import os
+
+    os.replace(tmp, marker)
+
+
 def pair_distance_matrix(queries: np.ndarray, sources: np.ndarray,
                          chunk_q: int = 16, chunk_s: int = 64,
                          alpha: float = 1000.0,
-                         progress: bool = True) -> Dict[str, np.ndarray]:
+                         progress: bool = True,
+                         resume_dir: Optional[str] = None
+                         ) -> Dict[str, np.ndarray]:
     """Full pair-distance tensor between query parts and source parts.
 
     queries [Q, n, 3], sources [S, m, 3] -> {'dcd', 'cd_s', 'cd_m'} [Q, S]
@@ -62,6 +102,10 @@ def pair_distance_matrix(queries: np.ndarray, sources: np.ndarray,
     queue on every round trip, which over a remote-execution tunnel
     (~5 ms/read) costs more than the chunk's device time at reference
     scale (~74k chunks).  Row outputs are [3, chunk_q, S] f32 — ~KBs.
+
+    ``resume_dir`` makes the job restartable: outputs live in memmapped
+    .npy files there and a ``rows_done`` marker advances after every
+    completed row block; rerunning with the same dir skips finished rows.
     """
     import time
 
@@ -69,13 +113,22 @@ def pair_distance_matrix(queries: np.ndarray, sources: np.ndarray,
 
     q_n, s_n = queries.shape[0], sources.shape[0]
     fused = pair_dcd_eligible(queries.shape[1], sources.shape[1])
-    out = {k: np.zeros((q_n, s_n), np.float32)
-           for k in ("dcd", "cd_s", "cd_m")}
+    start_row = 0
+    marker = None
+    if resume_dir:
+        out, marker, start_row = _resume_state(resume_dir, q_n, s_n)
+        if progress and start_row:
+            print(f"pair job: resuming at row {start_row}", flush=True)
+    else:
+        out = {k: np.zeros((q_n, s_n), np.float32)
+               for k in ("dcd", "cd_s", "cd_m")}
     src_dev = jnp.asarray(sources)
     n_rows = (q_n + chunk_q - 1) // chunk_q
     t0 = time.monotonic()
     next_report = t0 + 60.0
     for row, i in enumerate(range(0, q_n, chunk_q)):
+        if row < start_row:
+            continue
         qi = jnp.asarray(queries[i:i + chunk_q])
         pad_q = chunk_q - qi.shape[0]
         if pad_q:
@@ -94,20 +147,27 @@ def pair_distance_matrix(queries: np.ndarray, sources: np.ndarray,
             out["dcd"][i:i + bq, j:j + bs] = dcd[:bq, :bs]
             out["cd_s"][i:i + bq, j:j + bs] = cd_s[:bq, :bs]
             out["cd_m"][i:i + bq, j:j + bs] = cd_m[:bq, :bs]
+        if marker is not None:
+            _mark_rows(marker, row + 1)
         now = time.monotonic()
         if progress and now >= next_report:
             done = row + 1
-            eta = (now - t0) / done * (n_rows - done)
+            eta = (now - t0) / (done - start_row) * (n_rows - done)
             print(f"pair job: row {done}/{n_rows} "
                   f"({100.0 * done / n_rows:.0f}%, eta {eta / 60.0:.1f} min)",
                   flush=True)
             next_report = now + 60.0
+    if resume_dir:
+        # hand back plain arrays; the memmaps (and marker) stay on disk for
+        # the caller to clean up after persisting the final archive
+        out = {k: np.asarray(v) for k, v in out.items()}
     return out
 
 
 def source_pair_matrix(sources: np.ndarray, chunk: int = 32,
                        alpha: float = 1000.0,
-                       chunk_q: Optional[int] = None) -> np.ndarray:
+                       chunk_q: Optional[int] = None,
+                       resume_dir: Optional[str] = None) -> np.ndarray:
     """Symmetric source-to-source cd_m matrix (reference ``get_src_pair``;
     consumed as ``dist_src`` by the similarity mask).
 
@@ -116,7 +176,7 @@ def source_pair_matrix(sources: np.ndarray, chunk: int = 32,
     over remote-compile backends)."""
     d = pair_distance_matrix(sources, sources,
                              chunk_q if chunk_q is not None else chunk,
-                             chunk, alpha)["cd_m"]
+                             chunk, alpha, resume_dir=resume_dir)["cd_m"]
     return (d + d.T) / 2.0
 
 

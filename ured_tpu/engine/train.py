@@ -342,6 +342,22 @@ def train(cfg: URedConfig, num_steps: Optional[int] = None,
         if cfg.init_re:
             state = restore_groups(cfg.re_model_path, state, groups=("re",))
 
+    # crash/preemption resume: with the `resume` extra, pick up the full
+    # TrainState (params + batch stats + optimizer moments + LR count) from
+    # the newest checkpoint and skip the epochs it covers — the capability
+    # the reference lacks (its checkpoints drop optimizer state,
+    # ref train.py:349-358, so a restart resets Adam moments)
+    start_step = 0
+    if checkpoint_dir and bool(cfg.extras.get("resume", False)):
+        from ured_tpu.utils.checkpoint import latest_step, restore_checkpoint
+
+        last = latest_step(checkpoint_dir)
+        if last is not None:
+            state = restore_checkpoint(checkpoint_dir, state)
+            start_step = (last + 1) * steps_per_epoch
+            print(f"resume: restored epoch {last} checkpoint; "
+                  f"continuing at step {start_step}", flush=True)
+
     augment = make_augment_fn(cfg)
 
     # device-resident source DB (default): the full source tensors ship to
@@ -411,7 +427,10 @@ def train(cfg: URedConfig, num_steps: Optional[int] = None,
         if step >= total_steps:
             break
         epoch = step // steps_per_epoch
-        key, sub = jax.random.split(key)
+        key, sub = jax.random.split(key)   # split even when skipping:
+        # keeps the augmentation RNG stream aligned with an uninterrupted run
+        if step < start_step:
+            continue
         if dp_sharding is not None:
             batch = {k: jax.device_put(jnp.asarray(v), dp_sharding)
                      for k, v in batch.items()}
