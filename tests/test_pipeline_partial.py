@@ -54,6 +54,28 @@ def test_pipeline_batches(tmp_path, rng):
     assert sorted(seen.tolist()) == list(range(6))
 
 
+import pytest
+
+
+@pytest.mark.slow
+def test_pipeline_mp_prefetch_matches_inline(tmp_path, rng):
+    """worker_count > 0 (Grain multiprocess prefetch, the torch-DataLoader-
+    workers counterpart) yields the same batch stream as the in-process
+    path — same seed, same order, same tensors."""
+    pytest.importorskip("grain.python")
+    ds, db = _dataset(tmp_path, rng)
+    inline = list(make_input_pipeline(ds, db, batch_size=2, seed=0,
+                                      num_epochs=1))
+    mp = list(make_input_pipeline(ds, db, batch_size=2, seed=0,
+                                  num_epochs=1, worker_count=1))
+    assert len(inline) == len(mp)
+    for a, b in zip(inline, mp):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]))
+
+
 def test_partial_target_eval():
     cfg = URedConfig(batch_size=2, MAX_NUM_PARTS=8, num_target_points=64,
                      num_part_points=16, sem_latent_dim=8,
