@@ -306,3 +306,24 @@ def test_sharded_step_resident_sources_db_sharded():
     k1 = np.asarray(s_light.params["target_encoder_full"]["fc"]["kernel"])
     k2 = np.asarray(s_full.params["target_encoder_full"]["fc"]["kernel"])
     np.testing.assert_allclose(k1, k2, atol=1e-5)
+
+
+def test_sharded_pair_matrix_exact():
+    """The mesh-sharded pair-archive job (sources striped over all devices,
+    chunks scanned on device, one dispatch per row block) matches the
+    single-device chunked path exactly — including a ragged source count
+    that needs padding to the device stripe."""
+    from ured_tpu.data import pairs
+
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(5, 16, 3)).astype(np.float32)
+    s = rng.normal(size=(11, 16, 3)).astype(np.float32)
+
+    plain = pairs.pair_distance_matrix(q, s, chunk_q=2, chunk_s=2,
+                                       progress=False)
+    mesh = make_mesh(dp=4, db=2)
+    sharded = pairs.pair_distance_matrix(q, s, chunk_q=2, chunk_s=2,
+                                         progress=False, mesh=mesh)
+    for k in plain:
+        np.testing.assert_allclose(sharded[k], plain[k], rtol=1e-5,
+                                   atol=1e-7)

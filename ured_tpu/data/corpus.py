@@ -164,8 +164,8 @@ def pair_archive_path(cfg: URedConfig, split: Optional[str] = None) -> str:
 def build_pair_archive(cfg: URedConfig, points: np.ndarray,
                        labels: np.ndarray, src_points: np.ndarray,
                        cache_path: Optional[str] = None,
-                       chunk_q: int = 16, chunk_s: int = 64
-                       ) -> Dict[str, np.ndarray]:
+                       chunk_q: int = 16, chunk_s: int = 64,
+                       mesh=None) -> Dict[str, np.ndarray]:
     """Pair-distance archive {cd_m/dcd/cd_s [T, P, S], dist_src [S, S]}.
 
     One tiled on-device DCD job (``data.pairs.pair_distance_matrix``)
@@ -193,7 +193,7 @@ def build_pair_archive(cfg: URedConfig, points: np.ndarray,
     resume_dir = (cache_path + ".partial") if cache_path else None
     mats = pairs.pair_distance_matrix(flat[vidx], src_points,
                                       chunk_q=chunk_q, chunk_s=chunk_s,
-                                      resume_dir=resume_dir)
+                                      resume_dir=resume_dir, mesh=mesh)
     archive = {}
     for k, v in mats.items():
         full = np.full((t * p, s), 1e9, np.float32)
@@ -212,7 +212,7 @@ def build_pair_archive(cfg: URedConfig, points: np.ndarray,
         os.makedirs(os.path.dirname(ds_path), exist_ok=True)
         dist_src = pairs.source_pair_matrix(
             src_points, chunk=chunk_s, chunk_q=chunk_q,
-            resume_dir=ds_path + ".partial")
+            resume_dir=ds_path + ".partial", mesh=mesh)
         np.save(ds_path, dist_src)
         shutil.rmtree(ds_path + ".partial", ignore_errors=True)
     archive["dist_src"] = dist_src
@@ -255,7 +255,8 @@ def from_partnet(cfg: URedConfig, mesh: bool = False,
         pair_cache = str(cfg.extras.get("pair_archive",
                                         pair_archive_path(cfg)))
     archive = build_pair_archive(cfg, dataset.points, dataset.labels,
-                                 source_db.points, cache_path=pair_cache)
+                                 source_db.points, cache_path=pair_cache,
+                                 mesh=mesh)
     dist_src = archive.get("dist_src")
     if source_db.dist_src is not None:
         dist_src = source_db.dist_src  # precomputed matrix wins (ref :13)

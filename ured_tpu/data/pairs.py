@@ -24,10 +24,8 @@ from ured_tpu.ops.dcd import calc_dcd
 Array = jax.Array
 
 
-@partial(jax.jit, static_argnames=("alpha", "fused"))
-def _pair_chunk(q: Array, s: Array, alpha: float = 1000.0,
-                fused: bool = False):
-    """q [bq, n, 3], s [bs, m, 3] -> (dcd, cd_s, cd_m) each [bq, bs].
+def _chunk_core(q: Array, s: Array, alpha: float, fused: bool):
+    """q [bq, n, 3], s [bs, m, 3] -> stacked (dcd, cd_s, cd_m) [3, bq, bs].
 
     ``fused`` dispatches to the per-pair VMEM Pallas kernel
     (``ops.dcd_pallas``) — ~6x the XLA path's throughput at [1024]x[1024]
@@ -43,8 +41,43 @@ def _pair_chunk(q: Array, s: Array, alpha: float = 1000.0,
         dcd, cd_p, cd_t = pair_dcd_pallas(qq, ss, alpha=alpha)
     else:
         dcd, cd_p, cd_t = calc_dcd(qq, ss, alpha=alpha)
-    return (dcd.reshape(bq, bs), cd_p.reshape(bq, bs),
-            cd_t.reshape(bq, bs))
+    return jnp.stack([dcd.reshape(bq, bs), cd_p.reshape(bq, bs),
+                      cd_t.reshape(bq, bs)])
+
+
+@partial(jax.jit, static_argnames=("alpha", "fused"))
+def _pair_chunk(q: Array, s: Array, alpha: float = 1000.0,
+                fused: bool = False):
+    """q [bq, n, 3], s [bs, m, 3] -> (dcd, cd_s, cd_m) each [bq, bs]."""
+    out = _chunk_core(q, s, alpha, fused)
+    return out[0], out[1], out[2]
+
+
+def _make_sharded_row_fn(mesh, chunk_q: int, chunk_s: int,
+                         alpha: float, fused: bool):
+    """One dispatch computes a whole [chunk_q, S_pad] row block with the
+    source axis sharded over *every* mesh device (dp and db axes flattened)
+    and the per-device chunks scanned on device — the multi-chip form of
+    the pair-archive job (SURVEY §5: the long axis that needs scaling is
+    the source database; preprocessing's O(T*S) matrix shards the same
+    way as retrieval)."""
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+
+    def row(qi, s_all):
+        # s_all: [S_loc, m, 3] local shard; scan local chunks on device
+        nloc = s_all.shape[0] // chunk_s
+        s_chunks = s_all.reshape(nloc, chunk_s, *s_all.shape[1:])
+        outs = jax.lax.map(lambda sj: _chunk_core(qi, sj, alpha, fused),
+                           s_chunks)                  # [nloc, 3, bq, bs]
+        out = jnp.moveaxis(outs, 1, 0)                # [3, nloc, bq, bs]
+        out = jnp.swapaxes(out, 1, 2)                 # [3, bq, nloc, bs]
+        return out.reshape(3, chunk_q, nloc * chunk_s)
+
+    return jax.jit(jax.shard_map(
+        row, mesh=mesh,
+        in_specs=(P(), P(axes)), out_specs=P(None, None, axes)))
 
 
 def _resume_state(resume_dir: str, q_n: int, s_n: int):
@@ -89,8 +122,8 @@ def pair_distance_matrix(queries: np.ndarray, sources: np.ndarray,
                          chunk_q: int = 16, chunk_s: int = 64,
                          alpha: float = 1000.0,
                          progress: bool = True,
-                         resume_dir: Optional[str] = None
-                         ) -> Dict[str, np.ndarray]:
+                         resume_dir: Optional[str] = None,
+                         mesh=None) -> Dict[str, np.ndarray]:
     """Full pair-distance tensor between query parts and source parts.
 
     queries [Q, n, 3], sources [S, m, 3] -> {'dcd', 'cd_s', 'cd_m'} [Q, S]
@@ -106,6 +139,11 @@ def pair_distance_matrix(queries: np.ndarray, sources: np.ndarray,
     ``resume_dir`` makes the job restartable: outputs live in memmapped
     .npy files there and a ``rows_done`` marker advances after every
     completed row block; rerunning with the same dir skips finished rows.
+
+    ``mesh`` (a multi-device ``jax.sharding.Mesh``) shards the source axis
+    over every device: each row block becomes ONE dispatch whose local
+    chunks are scanned on device, devices computing disjoint column
+    stripes in parallel.
     """
     import time
 
@@ -122,7 +160,21 @@ def pair_distance_matrix(queries: np.ndarray, sources: np.ndarray,
     else:
         out = {k: np.zeros((q_n, s_n), np.float32)
                for k in ("dcd", "cd_s", "cd_m")}
-    src_dev = jnp.asarray(sources)
+
+    sharded = mesh is not None and mesh.devices.size > 1
+    if sharded:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        stripe = chunk_s * n_dev
+        s_pad = -(-s_n // stripe) * stripe
+        src_host = np.zeros((s_pad,) + sources.shape[1:], sources.dtype)
+        src_host[:s_n] = sources
+        src_dev = jax.device_put(
+            src_host, NamedSharding(mesh, P(tuple(mesh.axis_names))))
+        row_fn = _make_sharded_row_fn(mesh, chunk_q, chunk_s, alpha, fused)
+    else:
+        src_dev = jnp.asarray(sources)
     n_rows = (q_n + chunk_q - 1) // chunk_q
     t0 = time.monotonic()
     next_report = t0 + 60.0
@@ -133,20 +185,27 @@ def pair_distance_matrix(queries: np.ndarray, sources: np.ndarray,
         pad_q = chunk_q - qi.shape[0]
         if pad_q:
             qi = jnp.pad(qi, ((0, pad_q), (0, 0), (0, 0)))
-        row_dev = []
-        for j in range(0, s_n, chunk_s):
-            sj = src_dev[j:j + chunk_s]
-            pad_s = chunk_s - sj.shape[0]
-            if pad_s:
-                sj = jnp.pad(sj, ((0, pad_s), (0, 0), (0, 0)))
-            row_dev.append(_pair_chunk(qi, sj, alpha=alpha, fused=fused))
-        row_host = jax.device_get(row_dev)    # one batched transfer per row
         bq = chunk_q - pad_q
-        for (dcd, cd_s, cd_m), j in zip(row_host, range(0, s_n, chunk_s)):
-            bs = min(chunk_s, s_n - j)
-            out["dcd"][i:i + bq, j:j + bs] = dcd[:bq, :bs]
-            out["cd_s"][i:i + bq, j:j + bs] = cd_s[:bq, :bs]
-            out["cd_m"][i:i + bq, j:j + bs] = cd_m[:bq, :bs]
+        if sharded:
+            block = np.asarray(row_fn(qi, src_dev))   # [3, chunk_q, s_pad]
+            for k, ki in (("dcd", 0), ("cd_s", 1), ("cd_m", 2)):
+                out[k][i:i + bq] = block[ki, :bq, :s_n]
+        else:
+            row_dev = []
+            for j in range(0, s_n, chunk_s):
+                sj = src_dev[j:j + chunk_s]
+                pad_s = chunk_s - sj.shape[0]
+                if pad_s:
+                    sj = jnp.pad(sj, ((0, pad_s), (0, 0), (0, 0)))
+                row_dev.append(_pair_chunk(qi, sj, alpha=alpha, fused=fused))
+            # one batched transfer per row
+            row_host = jax.device_get(row_dev)
+            for (dcd, cd_s, cd_m), j in zip(row_host,
+                                            range(0, s_n, chunk_s)):
+                bs = min(chunk_s, s_n - j)
+                out["dcd"][i:i + bq, j:j + bs] = dcd[:bq, :bs]
+                out["cd_s"][i:i + bq, j:j + bs] = cd_s[:bq, :bs]
+                out["cd_m"][i:i + bq, j:j + bs] = cd_m[:bq, :bs]
         if marker is not None:
             _mark_rows(marker, row + 1)
         now = time.monotonic()
@@ -167,7 +226,8 @@ def pair_distance_matrix(queries: np.ndarray, sources: np.ndarray,
 def source_pair_matrix(sources: np.ndarray, chunk: int = 32,
                        alpha: float = 1000.0,
                        chunk_q: Optional[int] = None,
-                       resume_dir: Optional[str] = None) -> np.ndarray:
+                       resume_dir: Optional[str] = None,
+                       mesh=None) -> np.ndarray:
     """Symmetric source-to-source cd_m matrix (reference ``get_src_pair``;
     consumed as ``dist_src`` by the similarity mask).
 
@@ -176,7 +236,8 @@ def source_pair_matrix(sources: np.ndarray, chunk: int = 32,
     over remote-compile backends)."""
     d = pair_distance_matrix(sources, sources,
                              chunk_q if chunk_q is not None else chunk,
-                             chunk, alpha, resume_dir=resume_dir)["cd_m"]
+                             chunk, alpha, resume_dir=resume_dir,
+                             mesh=mesh)["cd_m"]
     return (d + d.T) / 2.0
 
 
@@ -289,9 +350,11 @@ def main(argv):
     source_db = load_sources(cfg)
     path = str(cfg.extras.get("pair_archive",
                               corpus.pair_archive_path(cfg)))
+    from ured_tpu.parallel.mesh import resolve_mesh
+
     archive = corpus.build_pair_archive(
         cfg, dataset.points, dataset.labels, source_db.points,
-        cache_path=path)
+        cache_path=path, mesh=resolve_mesh(cfg))
     print(f"pair archive: {path} "
           f"({ {k: tuple(v.shape) for k, v in archive.items()} })")
 
