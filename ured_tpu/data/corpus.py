@@ -165,7 +165,7 @@ def build_pair_archive(cfg: URedConfig, points: np.ndarray,
                        labels: np.ndarray, src_points: np.ndarray,
                        cache_path: Optional[str] = None,
                        chunk_q: int = 16, chunk_s: int = 64,
-                       mesh=None) -> Dict[str, np.ndarray]:
+                       device_mesh=None) -> Dict[str, np.ndarray]:
     """Pair-distance archive {cd_m/dcd/cd_s [T, P, S], dist_src [S, S]}.
 
     One tiled on-device DCD job (``data.pairs.pair_distance_matrix``)
@@ -193,7 +193,8 @@ def build_pair_archive(cfg: URedConfig, points: np.ndarray,
     resume_dir = (cache_path + ".partial") if cache_path else None
     mats = pairs.pair_distance_matrix(flat[vidx], src_points,
                                       chunk_q=chunk_q, chunk_s=chunk_s,
-                                      resume_dir=resume_dir, mesh=mesh)
+                                      resume_dir=resume_dir,
+                                      mesh=device_mesh)
     archive = {}
     for k, v in mats.items():
         full = np.full((t * p, s), 1e9, np.float32)
@@ -212,7 +213,7 @@ def build_pair_archive(cfg: URedConfig, points: np.ndarray,
         os.makedirs(os.path.dirname(ds_path), exist_ok=True)
         dist_src = pairs.source_pair_matrix(
             src_points, chunk=chunk_s, chunk_q=chunk_q,
-            resume_dir=ds_path + ".partial", mesh=mesh)
+            resume_dir=ds_path + ".partial", mesh=device_mesh)
         np.save(ds_path, dist_src)
         shutil.rmtree(ds_path + ".partial", ignore_errors=True)
     archive["dist_src"] = dist_src
@@ -254,9 +255,11 @@ def from_partnet(cfg: URedConfig, mesh: bool = False,
     if pair_cache is None:
         pair_cache = str(cfg.extras.get("pair_archive",
                                         pair_archive_path(cfg)))
+    from ured_tpu.parallel.mesh import resolve_mesh
+
     archive = build_pair_archive(cfg, dataset.points, dataset.labels,
                                  source_db.points, cache_path=pair_cache,
-                                 mesh=mesh)
+                                 device_mesh=resolve_mesh(cfg))
     dist_src = archive.get("dist_src")
     if source_db.dist_src is not None:
         dist_src = source_db.dist_src  # precomputed matrix wins (ref :13)

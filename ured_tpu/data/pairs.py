@@ -354,7 +354,7 @@ def main(argv):
 
     archive = corpus.build_pair_archive(
         cfg, dataset.points, dataset.labels, source_db.points,
-        cache_path=path, mesh=resolve_mesh(cfg))
+        cache_path=path, device_mesh=resolve_mesh(cfg))
     print(f"pair archive: {path} "
           f"({ {k: tuple(v.shape) for k, v in archive.items()} })")
 
