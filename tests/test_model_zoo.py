@@ -129,6 +129,45 @@ def test_vn_encoder_from_config_honors_pooling_keys(rng):
     assert g.shape == (1, 16) and pp.shape == (1, 32, 16)
 
 
+def test_gcn3d_conv_layer_matches_numpy_oracle(rng):
+    """ConvLayer reduction order pinned to the reference math
+    (P_3DGC.py:Conv_layer:140-163): relu-cosine gate per
+    (support, out-channel) direction, max over neighbors, THEN sum over
+    supports, plus the center linear path with the bias applied before the
+    center/support split."""
+    from ured_tpu.models.gcn3d import ConvLayer, knn_indices
+
+    b, n, k, cin, cout, s = 2, 10, 3, 5, 4, 3
+    pts = jnp.asarray(rng.normal(size=(b, n, 3)), jnp.float32)
+    feat = jnp.asarray(rng.normal(size=(b, n, cin)), jnp.float32)
+    idx = knn_indices(pts, k)
+    m = ConvLayer(cout, s)
+    v = m.init(jax.random.PRNGKey(0), pts, feat, idx)
+    out = np.asarray(m.apply(v, pts, feat, idx))
+
+    w = np.asarray(v["params"]["weights"])          # [cin, (s+1)*cout]
+    bias = np.asarray(v["params"]["bias"])          # [(s+1)*cout]
+    dirs = np.asarray(v["params"]["directions"])    # [3, s*cout]
+    dirs = dirs / (np.linalg.norm(dirs, axis=0, keepdims=True) + 1e-8)
+    pts_n, feat_n, idx_n = map(np.asarray, (pts, feat, idx))
+
+    ref = np.zeros((b, n, cout), np.float32)
+    for bi in range(b):
+        fo = feat_n[bi] @ w + bias                  # [n, (s+1)*cout]
+        center, support = fo[:, :cout], fo[:, cout:]
+        for ni in range(n):
+            acc = np.zeros((k, s * cout), np.float32)
+            for kk in range(k):
+                nb = idx_n[bi, ni, kk]
+                d = pts_n[bi, nb] - pts_n[bi, ni]
+                d = d / (np.linalg.norm(d) + 1e-8)
+                theta = np.maximum(d @ dirs, 0.0)   # [s*cout]
+                acc[kk] = theta * support[nb]
+            gated = acc.reshape(k, s, cout).max(axis=0).sum(axis=0)
+            ref[bi, ni] = center[ni] + gated
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_gcn3d_encoder(rng):
     pts = jnp.asarray(rng.normal(size=(2, 64, 3)), jnp.float32)
     m = GCN3DEncoder(global_dim=32, per_point_dim=16, neighbor_num=8)
