@@ -203,3 +203,23 @@ def test_augment_no_rot_flag_and_partial_mode():
     assert out["tgt_sem"].shape == (2, 32)
     np.testing.assert_allclose(np.asarray(out["x"]).mean(axis=1), 0.0,
                                atol=1e-4)
+
+
+def test_train_step_bf16_compute_dtype():
+    """compute_dtype='bfloat16' (matmuls in bf16, params/stats f32) runs the
+    full 7-loss step and keeps the loss finite — shape/numerics gate for the
+    bf16 path that only gets timed on real hardware."""
+    cfg = _tiny_cfg(compute_dtype="bfloat16")
+    data = synthetic.generate(num_targets=4, num_sources=6, n_points=64,
+                              points_per_part=16, max_parts=8, seed=0)
+    model = URED(cfg)
+    batch = {k: jnp.asarray(v) for k, v in synthetic.make_batch(
+        data, np.arange(4), 8).items()}
+    tx, _ = make_optimizer(cfg, 1)
+    state = init_state(cfg, model, tx, batch)
+    step = jax.jit(make_train_step(cfg, model, tx))
+    state, metrics = step(state, batch, jnp.asarray(0))
+    assert np.isfinite(float(metrics["all_loss"]))
+    # params stay f32
+    k = state.params["target_encoder_full"]["fc"]["kernel"]
+    assert k.dtype == jnp.float32
