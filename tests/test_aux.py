@@ -186,3 +186,52 @@ def test_all_reference_configs_load():
         d = cfg.to_dict()
         back = URedConfig.from_dict(d)
         assert back.batch_size == cfg.batch_size
+
+
+def test_mesh_utilities_roundtrip():
+    """Mesh-level geometry utilities (reference geometry_utils.py:262-360):
+    shared-edge components respect face labels, label transfer picks the
+    nearest labeled point, isolated vertices drop with faces reindexed."""
+    from ured_tpu.utils.geometry import (
+        mesh_connected_components,
+        propagate_pts_seg,
+        remove_isolated_vertices,
+        transfer_label_to_faces,
+    )
+
+    # two disjoint triangle fans + one isolated vertex (index 6)
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0],          # island A
+                  [5, 0, 0], [6, 0, 0], [5, 1, 0],          # island B
+                  [9, 9, 9]], np.float32)                   # isolated
+    f = np.array([[0, 1, 2], [3, 4, 5]], np.int64)
+    comp = mesh_connected_components(f)
+    assert comp[0] != comp[1]
+    f2 = np.array([[0, 1, 2], [1, 2, 3]], np.int64)         # share edge 1-2
+    assert mesh_connected_components(f2)[0] == \
+        mesh_connected_components(f2)[1]
+    # same mesh, but labels split the components at the shared edge
+    comp_lab = mesh_connected_components(f2, face_labels=np.array([0, 1]))
+    assert comp_lab[0] != comp_lab[1]
+
+    pts = np.array([[0.3, 0.3, 0], [5.3, 0.3, 0]], np.float32)
+    lab = np.array([7, 9])
+    face_lab = transfer_label_to_faces(v, f, pts, lab)
+    np.testing.assert_array_equal(face_lab, [7, 9])
+
+    seg = propagate_pts_seg(pts, lab, v[:6])
+    np.testing.assert_array_equal(seg, [7, 7, 7, 9, 9, 9])
+
+    v2, f3 = remove_isolated_vertices(v, f)
+    assert v2.shape[0] == 6
+    np.testing.assert_array_equal(f3, f)  # first 6 vertices keep their ids
+
+
+def test_rotate_pts_is_rigid():
+    from ured_tpu.utils.geometry import rotate_pts
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(32, 3)).astype(np.float32)
+    out = rotate_pts(pts, theta=30.0, phi=45.0)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1),
+                               np.linalg.norm(pts, axis=1), rtol=1e-5)
+    assert not np.allclose(out, pts)

@@ -55,3 +55,89 @@ def connected_components(points: np.ndarray, radius: float
                 stack.append(v)
         comp += 1
     return labels, comp
+
+
+def pairwise_sqdist_np(pts1: np.ndarray, pts2: np.ndarray) -> np.ndarray:
+    """Dense squared-distance matrix [N1, N2] (reference
+    ``calculate_two_pts_distance:337``)."""
+    a = np.sum(pts1 ** 2, axis=1)[:, None]
+    b = np.sum(pts2 ** 2, axis=1)[None, :]
+    return a + b - 2.0 * pts1 @ pts2.T
+
+
+def rotate_pts(pts: np.ndarray, theta: float = 0.0,
+               phi: float = 0.0) -> np.ndarray:
+    """Y-then-X-axis rotation with the reference's angle conventions
+    (``rotate_pts:96``: phi in [-90, 90] maps to +-pi/2 about x, theta in
+    degrees about y)."""
+    out = np.asarray(pts, np.float32)
+    a = phi / 90.0 * np.pi / 2.0
+    rx = np.array([[1, 0, 0],
+                   [0, np.cos(a), np.sin(a)],
+                   [0, -np.sin(a), np.cos(a)]], np.float32)
+    out = out @ rx
+    a = theta / 360.0 * 2.0 * np.pi
+    ry = np.array([[np.cos(a), 0, np.sin(a)],
+                   [0, 1, 0],
+                   [-np.sin(a), 0, np.cos(a)]], np.float32)
+    return out @ ry
+
+
+def propagate_pts_seg(ori_pts: np.ndarray, ori_seg: np.ndarray,
+                      tar_pts: np.ndarray) -> np.ndarray:
+    """Nearest-neighbor segmentation transfer between point clouds
+    (reference ``propagate_pts_seg_from_another_pts:344``)."""
+    idx = np.argmin(pairwise_sqdist_np(ori_pts, tar_pts), axis=0)
+    return np.asarray(ori_seg)[idx]
+
+
+def transfer_label_to_faces(vertices: np.ndarray, faces: np.ndarray,
+                            pts: np.ndarray,
+                            label: np.ndarray) -> np.ndarray:
+    """Per-face labels from the labeled point nearest each face center
+    (reference ``transfer_label_from_pts_to_obj:262``; faces 0-based here
+    — our OBJ reader is 0-based)."""
+    assert pts.shape[0] == label.shape[0], "#pts != #label"
+    centers = vertices[faces].mean(axis=1)          # [F, 3]
+    nearest = np.argmin(pairwise_sqdist_np(pts, centers), axis=0)
+    return np.asarray(label)[nearest]
+
+
+def mesh_connected_components(faces: np.ndarray,
+                              face_labels: np.ndarray = None) -> np.ndarray:
+    """Per-face connected-component ids over shared-edge adjacency
+    (reference ``detect_connected_component:281``; faces 0-based).  Faces
+    join a component only through edges whose two faces carry the same
+    ``face_labels`` entry when labels are given.  Vectorized: edges are
+    grouped with one lexsort instead of a python dict, components come
+    from scipy's union-find."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components as _cc
+
+    f = np.asarray(faces, np.int64)
+    nf = f.shape[0]
+    tri = np.sort(f, axis=1)
+    # the 3 undirected edges of each face
+    edges = np.concatenate([tri[:, [0, 1]], tri[:, [1, 2]],
+                            tri[:, [0, 2]]], axis=0)      # [3F, 2]
+    owner = np.tile(np.arange(nf), 3)
+    order = np.lexsort((edges[:, 1], edges[:, 0]))
+    edges, owner = edges[order], owner[order]
+    same = (edges[1:] == edges[:-1]).all(axis=1)
+    a, b = owner[:-1][same], owner[1:][same]
+    if face_labels is not None:
+        lab = np.asarray(face_labels)
+        keep = lab[a] == lab[b]
+        a, b = a[keep], b[keep]
+    adj = coo_matrix((np.ones(len(a)), (a, b)), shape=(nf, nf))
+    _, comp = _cc(adj, directed=False)
+    return comp.astype(np.int32)
+
+
+def remove_isolated_vertices(vertices: np.ndarray, faces: np.ndarray):
+    """Drop vertices referenced by no face and reindex faces (reference
+    ``remove_isolated_vertices:349``; 0-based)."""
+    used = np.zeros(vertices.shape[0], bool)
+    used[np.asarray(faces).ravel()] = True
+    remap = np.cumsum(used) - 1
+    return vertices[used], remap[np.asarray(faces)]
