@@ -223,3 +223,28 @@ def test_train_step_bf16_compute_dtype():
     # params stay f32
     k = state.params["target_encoder_full"]["fc"]["kernel"]
     assert k.dtype == jnp.float32
+
+
+@pytest.mark.parametrize("category", ["table", "storage"])
+def test_train_step_on_other_categories(category):
+    """The synthetic corpus covers the reference's non-chair categories
+    (config_train_table/display): parametric invariants hold and the full
+    train step runs with finite decreasing loss."""
+    cfg = _tiny_cfg()
+    data = synthetic.generate(num_targets=4, num_sources=8, n_points=64,
+                              points_per_part=16, max_parts=8, seed=0,
+                              category=category)
+    for s in range(8):
+        rec = (data.src_mats[s] @ data.src_default[s]).reshape(-1, 3)
+        np.testing.assert_allclose(rec, data.src_points[s], atol=1e-4)
+    tx, _ = make_optimizer(cfg, 1)
+    model = URED(cfg)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic.make_batch(data, np.arange(4), 8).items()}
+    state = init_state(cfg, model, tx, batch)
+    step = jax.jit(make_train_step(cfg, model, tx))
+    state, m0 = step(state, batch, jnp.asarray(0))
+    for _ in range(6):
+        state, m = step(state, batch, jnp.asarray(0))
+    assert np.isfinite(float(m["all_loss"]))
+    assert float(m["all_loss"]) < float(m0["all_loss"])

@@ -27,6 +27,7 @@ from ured_tpu.data.parametric import (
 )
 
 SEM_SEAT, SEM_BACK, SEM_LEG = 3, 4, 5  # arbitrary ids < 42
+SEM_TOP, SEM_PANEL, SEM_SHELF = 6, 7, 8
 
 
 def sample_box_surface(rng: np.random.Generator, n: int,
@@ -42,6 +43,52 @@ def sample_box_surface(rng: np.random.Generator, n: int,
     rows = np.arange(n)
     pts[rows, face_axis] = face_sign * half[face_axis]
     return pts + center[None, :]
+
+
+def _table_layout(rng: np.random.Generator):
+    """Random table: top + 4 legs (5 parts), the reference's second
+    headline category (``config_train_table*.json``)."""
+    top_w = rng.uniform(0.4, 0.7)
+    top_d = rng.uniform(0.3, 0.6)
+    top_t = rng.uniform(0.02, 0.06)
+    leg_h = rng.uniform(0.3, 0.5)
+    leg_r = rng.uniform(0.02, 0.05)
+    parts = [
+        (np.array([0.0, leg_h + top_t, 0.0]),
+         np.array([top_w, top_t, top_d]), SEM_TOP),
+    ]
+    for sx in (-1, 1):
+        for sz in (-1, 1):
+            parts.append((
+                np.array([sx * (top_w - leg_r), leg_h / 2.0,
+                          sz * (top_d - leg_r)]),
+                np.array([leg_r, leg_h / 2.0, leg_r]), SEM_LEG))
+    return parts
+
+
+def _storage_layout(rng: np.random.Generator):
+    """Random storage furniture: two side panels, top, bottom, back and
+    1-2 shelves (6-7 parts; the reference's cabinet/display family)."""
+    w = rng.uniform(0.3, 0.5)
+    h = rng.uniform(0.4, 0.7)
+    d = rng.uniform(0.15, 0.3)
+    t = rng.uniform(0.02, 0.05)
+    parts = [
+        (np.array([-w + t, h, 0.0]), np.array([t, h, d]), SEM_PANEL),
+        (np.array([w - t, h, 0.0]), np.array([t, h, d]), SEM_PANEL),
+        (np.array([0.0, 2 * h - t, 0.0]), np.array([w, t, d]), SEM_TOP),
+        (np.array([0.0, t, 0.0]), np.array([w, t, d]), SEM_PANEL),
+        (np.array([0.0, h, -d + t]), np.array([w, h, t]), SEM_PANEL),
+    ]
+    n_shelves = int(rng.integers(1, 3))
+    for i in range(n_shelves):
+        y = 2 * h * (i + 1) / (n_shelves + 1)
+        parts.append((np.array([0.0, y, 0.0]),
+                      np.array([w - 2 * t, t, d - t]), SEM_SHELF))
+    return parts
+
+
+_LAYOUTS = {}  # filled after _chair_layout is defined
 
 
 def _chair_layout(rng: np.random.Generator):
@@ -96,10 +143,17 @@ class SyntheticData:
 
 def generate(num_targets: int = 64, num_sources: int = 64,
              n_points: int = 2048, points_per_part: int = 1024,
-             max_parts: int = 16, seed: int = 0) -> SyntheticData:
-    if max_parts < 6:
-        raise ValueError("synthetic chairs have 6 parts; max_parts >= 6")
+             max_parts: int = 16, seed: int = 0,
+             category: str = "chair") -> SyntheticData:
+    if category not in _LAYOUTS:
+        raise ValueError(f"unknown category {category!r}; "
+                         f"have {sorted(_LAYOUTS)}")
+    min_parts = {"chair": 6, "table": 5, "storage": 7}[category]
+    if max_parts < min_parts:
+        raise ValueError(f"synthetic {category}s have up to {min_parts} "
+                         f"parts; max_parts >= {min_parts}")
     rng = np.random.default_rng(seed)
+    layout_fn = _LAYOUTS[category]
 
     # ---- source database: individual boxes with sem labels ----
     src_points = np.zeros((num_sources, points_per_part, 3), np.float32)
@@ -113,23 +167,32 @@ def generate(num_targets: int = 64, num_sources: int = 64,
         # .py`` samples the part mesh in place — so target-part-to-source
         # DCD distances land in the 0.08-threshold regime of
         # ``get_labels``, dataset_utils.py:1118)
-        sem = [SEM_SEAT, SEM_BACK, SEM_LEG][s % 3]
-        seat_h = rng.uniform(0.3, 0.5)
-        seat_d = rng.uniform(0.3, 0.5)
-        if sem == SEM_SEAT:
-            half = rng.uniform([0.3, 0.03, 0.3], [0.5, 0.08, 0.5])
-            center = np.array([0.0, seat_h, 0.0])
-        elif sem == SEM_BACK:
-            half = rng.uniform([0.3, 0.3, 0.03], [0.5, 0.6, 0.08])
-            center = np.array([0.0, seat_h + half[1], -seat_d + half[2]])
+        if category == "chair":
+            # this branch's RNG draw order is frozen: cached pair archives
+            # from earlier chair corpora must stay reproducible
+            sem = [SEM_SEAT, SEM_BACK, SEM_LEG][s % 3]
+            seat_h = rng.uniform(0.3, 0.5)
+            seat_d = rng.uniform(0.3, 0.5)
+            if sem == SEM_SEAT:
+                half = rng.uniform([0.3, 0.03, 0.3], [0.5, 0.08, 0.5])
+                center = np.array([0.0, seat_h, 0.0])
+            elif sem == SEM_BACK:
+                half = rng.uniform([0.3, 0.3, 0.03], [0.5, 0.6, 0.08])
+                center = np.array([0.0, seat_h + half[1],
+                                   -seat_d + half[2]])
+            else:
+                leg_r = rng.uniform(0.02, 0.05)
+                half = np.array([leg_r, seat_h / 2.0, leg_r])
+                seat_w = rng.uniform(0.3, 0.5)
+                sx = rng.choice([-1.0, 1.0])
+                sz = rng.choice([-1.0, 1.0])
+                center = np.array([sx * (seat_w - leg_r), seat_h / 2.0,
+                                   sz * (seat_d - leg_r)])
         else:
-            leg_r = rng.uniform(0.02, 0.05)
-            half = np.array([leg_r, seat_h / 2.0, leg_r])
-            seat_w = rng.uniform(0.3, 0.5)
-            sx = rng.choice([-1.0, 1.0])
-            sz = rng.choice([-1.0, 1.0])
-            center = np.array([sx * (seat_w - leg_r), seat_h / 2.0,
-                               sz * (seat_d - leg_r)])
+            # donor part from a fresh random layout (keeps assembly
+            # positions and covers every semantic class of the category)
+            parts = layout_fn(rng)
+            center, half, sem = parts[s % len(parts)]
         pts = sample_box_surface(rng, points_per_part, center, half)
         box = aabbox_of_points(pts)
         src_points[s] = pts
@@ -148,7 +211,7 @@ def generate(num_targets: int = 64, num_sources: int = 64,
     tgt_part_half = np.zeros((num_targets, max_parts, 3), np.float32)
 
     for t in range(num_targets):
-        parts = _chair_layout(rng)
+        parts = layout_fn(rng)
         k = len(parts)
         num_parts[t] = k
         # proportional point budget with remainder to the first part
@@ -287,3 +350,7 @@ def make_batch(data: SyntheticData, idx: np.ndarray,
         "src_mat": data.src_mats[safe],
         "src_valid": (lt >= 0).astype(np.float32),
     }
+
+
+_LAYOUTS.update(chair=_chair_layout, table=_table_layout,
+                storage=_storage_layout)

@@ -275,12 +275,15 @@ def resolve_corpus(cfg: URedConfig, data=None, mesh: bool = False):
         c.extras["origin"] = "partnet"
         return c
     print("no PartNet tree found; training on the synthetic corpus")
+    # the generator knows the reference's headline categories; anything
+    # else (e.g. the reference configs' 'display') falls back to chairs
+    cat = cfg.category if cfg.category in synthetic._LAYOUTS else "chair"
     c = corpus.from_synthetic(synthetic.generate(
         num_targets=int(cfg.extras.get("synthetic_targets", 64)),
         num_sources=int(cfg.extras.get("synthetic_sources", 64)),
         n_points=cfg.num_target_points,
         points_per_part=cfg.num_part_points,
-        max_parts=cfg.MAX_NUM_PARTS, seed=cfg.seed))
+        max_parts=cfg.MAX_NUM_PARTS, seed=cfg.seed, category=cat))
     c.extras["origin"] = "synthetic"
     return c
 
