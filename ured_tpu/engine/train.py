@@ -275,9 +275,11 @@ def resolve_corpus(cfg: URedConfig, data=None, mesh: bool = False):
         c.extras["origin"] = "partnet"
         return c
     print("no PartNet tree found; training on the synthetic corpus")
-    # the generator knows the reference's headline categories; anything
-    # else (e.g. the reference configs' 'display') falls back to chairs
-    cat = cfg.category if cfg.category in synthetic._LAYOUTS else "chair"
+    # the generator knows the reference's headline categories; 'display'
+    # (config_train_display.json) maps to the cabinet-like storage layout,
+    # anything unknown falls back to chairs
+    cat = {"display": "storage"}.get(cfg.category, cfg.category)
+    cat = cat if cat in synthetic._LAYOUTS else "chair"
     c = corpus.from_synthetic(synthetic.generate(
         num_targets=int(cfg.extras.get("synthetic_targets", 64)),
         num_sources=int(cfg.extras.get("synthetic_sources", 64)),
