@@ -248,3 +248,39 @@ def test_train_step_on_other_categories(category):
         state, m = step(state, batch, jnp.asarray(0))
     assert np.isfinite(float(m["all_loss"]))
     assert float(m["all_loss"]) < float(m0["all_loss"])
+
+
+def test_auto_max_parts_shrinks_and_matches():
+    """auto_max_parts truncates the padded part axis to the corpus maximum
+    (6 synthetic chair parts of 16 slots).  The losses are mask-exact, but
+    the graph decoder genuinely loses the always-padding constant nodes
+    (the reference feeds all 16 slots into its attention unmasked,
+    deformation_net.py:84-89), so the first-step loss is close, not
+    bit-equal — this is a deliberate opt-in deviation."""
+    from ured_tpu.engine.train import resolve_corpus
+
+    cfg = _tiny_cfg(MAX_NUM_PARTS=16)
+    cfg.extras.update(synthetic_targets=8, synthetic_sources=6)
+    data = resolve_corpus(cfg)
+    assert data.label_table.shape[1] == 16
+
+    cfg2 = _tiny_cfg(MAX_NUM_PARTS=16)
+    cfg2.extras.update(synthetic_targets=8, synthetic_sources=6,
+                       auto_max_parts=True)
+    data2 = resolve_corpus(cfg2)
+    assert cfg2.MAX_NUM_PARTS == 6
+    assert data2.label_table.shape[1] == 6
+
+    def first_loss(c, d):
+        tx, _ = make_optimizer(c, 1)
+        model = URED(c)
+        batch = {k: jnp.asarray(v) for k, v in d.make_batch(
+            np.arange(4)).items()}
+        state = init_state(c, model, tx, batch)
+        step = jax.jit(make_train_step(c, model, tx))
+        _, m = step(state, batch, jnp.asarray(0))
+        return float(m["all_loss"])
+
+    a = first_loss(cfg, data)
+    b = first_loss(cfg2, data2)
+    np.testing.assert_allclose(a, b, rtol=0.05)

@@ -288,3 +288,30 @@ def from_synthetic(data) -> Corpus:
         src_mats=data.src_mats, src_default=data.src_default,
         src_sems=data.src_sems, label_table=data.label_table,
         dist_src=data.dist_src, pair_dist=data.pair_dist)
+
+
+def shrink_max_parts(data: Corpus, cfg: URedConfig) -> Corpus:
+    """Opt-in FLOP cut (`auto_max_parts` extra): shrink the padded part
+    axis to the corpus's true maximum part count.
+
+    The reference's ragged per-part loops never pay for absent parts
+    (engine/train.py:111-125); the fixed-shape rebuild pads every target to
+    ``MAX_NUM_PARTS`` slots and runs the source encoder / decoder / losses
+    on the padding (masked out of the math, but not out of the FLOPs).
+    Part ids are contiguous, so truncating the part axis to
+    ``max(num_parts)`` is exact — at the reference's 16 slots with ~6 real
+    parts this cuts the per-part compute ~2.7x.  Mutates ``cfg``'s
+    ``MAX_NUM_PARTS`` so every downstream consumer (eval chunking, batch
+    builders) agrees on the new static shape.
+    """
+    p_new = int(np.max(data.num_parts)) if len(data) else 0
+    p_old = data.label_table.shape[1]
+    if p_new <= 0 or p_new >= p_old:
+        return data
+    data.label_table = data.label_table[:, :p_new]
+    data.part_sems = data.part_sems[:, :p_new]
+    if data.pair_dist is not None:
+        data.pair_dist = data.pair_dist[:, :p_new]
+    cfg.MAX_NUM_PARTS = p_new
+    print(f"auto_max_parts: part axis {p_old} -> {p_new}")
+    return data

@@ -265,15 +265,22 @@ def resolve_corpus(cfg: URedConfig, data=None, mesh: bool = False):
     vis/export pipeline)."""
     from ured_tpu.data import corpus, synthetic
 
+    def _maybe_shrink(c):
+        # opt-in FLOP cut: truncate the padded part axis to the corpus's
+        # true maximum (see corpus.shrink_max_parts)
+        if bool(cfg.extras.get("auto_max_parts", False)):
+            c = corpus.shrink_max_parts(c, cfg)
+        return c
+
     if data is not None:
         if not hasattr(data, "make_batch"):  # SyntheticData duck type
             data = corpus.from_synthetic(data)
-        return data
+        return _maybe_shrink(data)
     if corpus.real_data_available(cfg):
         print(f"loading PartNet corpus from {cfg.base_dir}")
         c = corpus.from_partnet(cfg, mesh=mesh)
         c.extras["origin"] = "partnet"
-        return c
+        return _maybe_shrink(c)
     print("no PartNet tree found; training on the synthetic corpus")
     # the generator knows the reference's headline categories; 'display'
     # (config_train_display.json) maps to the cabinet-like storage layout,
@@ -287,7 +294,7 @@ def resolve_corpus(cfg: URedConfig, data=None, mesh: bool = False):
         points_per_part=cfg.num_part_points,
         max_parts=cfg.MAX_NUM_PARTS, seed=cfg.seed, category=cat))
     c.extras["origin"] = "synthetic"
-    return c
+    return _maybe_shrink(c)
 
 
 def train(cfg: URedConfig, num_steps: Optional[int] = None,
