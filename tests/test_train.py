@@ -284,3 +284,18 @@ def test_auto_max_parts_shrinks_and_matches():
     a = first_loss(cfg, data)
     b = first_loss(cfg2, data2)
     np.testing.assert_allclose(a, b, rtol=0.05)
+
+
+def test_train_profile_dir_writes_trace(tmp_path):
+    """profile_dir extra traces a window of steps into an xprof dump."""
+    import os
+
+    cfg = _tiny_cfg()
+    cfg.extras.update(synthetic_targets=8, synthetic_sources=6,
+                      profile_dir=str(tmp_path / "prof"),
+                      profile_start=1, profile_steps=1)
+    train(cfg, num_steps=3, log_every=100)
+    dumped = []
+    for root, _, files in os.walk(tmp_path / "prof"):
+        dumped += files
+    assert dumped, "no profiler artifacts written"

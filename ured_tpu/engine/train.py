@@ -435,6 +435,14 @@ def train(cfg: URedConfig, num_steps: Optional[int] = None,
                   f"cd {vals.get('cd_loss_full', 0):.4f} "
                   f"({dt:.1f}s)")
 
+    # on-demand device profiling: `profile_dir` extra traces steps
+    # [profile_start, profile_start + profile_steps) into a TensorBoard/
+    # xprof trace (SURVEY §5: the reference has no tracing at all)
+    profile_dir = cfg.extras.get("profile_dir")
+    profile_start = int(cfg.extras.get("profile_start", 2))
+    profile_steps = int(cfg.extras.get("profile_steps", 3))
+    profiling = False
+
     for step, batch in enumerate(batches):
         if step >= total_steps:
             break
@@ -443,12 +451,21 @@ def train(cfg: URedConfig, num_steps: Optional[int] = None,
         # keeps the augmentation RNG stream aligned with an uninterrupted run
         if step < start_step:
             continue
+        if profile_dir and step == start_step + profile_start:
+            jax.profiler.start_trace(str(profile_dir))
+            profiling = True
         if dp_sharding is not None:
             batch = {k: jax.device_put(jnp.asarray(v), dp_sharding)
                      for k, v in batch.items()}
         batch = augment(batch, sub)
         state, metrics = step_fn(state, batch, jnp.asarray(epoch),
                                  src_arrays)
+        if profiling and step + 1 >= start_step + profile_start + \
+                profile_steps:
+            jax.block_until_ready(metrics["all_loss"])
+            jax.profiler.stop_trace()
+            profiling = False
+            print(f"profile trace written to {profile_dir}")
         if pending is not None:
             flush(pending)
         pending = (step, metrics)
