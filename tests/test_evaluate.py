@@ -185,3 +185,31 @@ def test_bn_recalibration_recovers_collapsed_stats():
     good = evaluate(cfg, model, poisoned, data, batch_size=4)
     assert good["best_full_cd_loss"] < bad["best_full_cd_loss"]
     assert good["best_full_cd_loss"] < 1e3
+
+
+def test_corpus_eval_sharded_matches_single():
+    """make_corpus_eval(mesh=...) shards the stacked-batch axis over all 8
+    virtual devices and must match the unsharded program exactly."""
+    from ured_tpu.engine.evaluate import make_corpus_eval, stack_batches
+    from ured_tpu.parallel import make_mesh
+
+    cfg = _tiny_cfg()
+    data = synthetic.generate(num_targets=16, num_sources=6, n_points=64,
+                              points_per_part=16, max_parts=8, seed=0)
+    model = URED(cfg)
+    init_batch = {k: jnp.asarray(v) for k, v in synthetic.make_batch(
+        data, np.arange(2), 8).items()}
+    variables = model.init(jax.random.PRNGKey(0), init_batch, train=False)
+    src_db = build_source_db(cfg, model, variables,
+                             jnp.asarray(data.src_points),
+                             jnp.asarray(data.src_sems),
+                             jnp.asarray(data.src_mats), chunk=6)
+    batches = stack_batches(data, cfg.batch_size)      # NB = 8
+    plain = make_corpus_eval(cfg, model)(variables, batches, src_db)
+    mesh = make_mesh(dp=4, db=2)
+    sharded = make_corpus_eval(cfg, model, mesh=mesh)(
+        variables, batches, src_db)
+    for k in plain:
+        np.testing.assert_allclose(np.asarray(sharded[k]),
+                                   np.asarray(plain[k]), rtol=1e-5,
+                                   atol=1e-6, err_msg=k)

@@ -155,7 +155,8 @@ def make_eval_step(cfg: URedConfig, model: URED, k_candidates: int = 1,
 
 def make_corpus_eval(cfg: URedConfig, model: URED,
                      k_candidates: int = 1,
-                     num_real_sources: Optional[int] = None):
+                     num_real_sources: Optional[int] = None,
+                     mesh=None):
     """Whole-corpus evaluation as ONE device program: ``lax.map`` over
     stacked batches, so a full test split is a single dispatch.
 
@@ -163,6 +164,11 @@ def make_corpus_eval(cfg: URedConfig, model: URED,
     ~15 s, runs at ~1400 targets/s — within ~15% of the per-batch loop,
     whose dispatch overhead is already amortized at batch 32.  Useful when
     driving eval from a host with high per-call latency.
+
+    With a multi-device ``mesh``, the stacked-batch axis shards over every
+    device (dp and db axes flattened): each device lax.maps its own NB/n
+    slice of batches against the replicated source DB — whole-split eval
+    stays one dispatch AND scales across chips.  NB must divide evenly.
 
     Returns ``corpus_eval(variables, batches, src_db)`` where ``batches``
     stacks per-batch tensors on a leading axis: {x [NB, B, N, 3], ...}.
@@ -173,7 +179,7 @@ def make_corpus_eval(cfg: URedConfig, model: URED,
     step = make_eval_step(cfg, model, k_candidates,
                           num_real_sources=num_real_sources)
 
-    def corpus_eval(variables, batches, src_db):
+    def inner(variables, batches, src_db):
         def one(batch):
             out = step(variables, batch, src_db)
             return {"cd_full": out["cd_full"],
@@ -185,7 +191,14 @@ def make_corpus_eval(cfg: URedConfig, model: URED,
 
         return jax.lax.map(one, batches)
 
-    return corpus_eval
+    if mesh is None or mesh.devices.size <= 1:
+        return jax.jit(inner)
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    return jax.jit(jax.shard_map(
+        inner, mesh=mesh, in_specs=(P(), P(axes), P()),
+        out_specs=P(axes)))
 
 
 def stack_batches(data, batch_size: int, num: Optional[int] = None):
@@ -510,19 +523,24 @@ def evaluate(cfg: URedConfig, model: URED, variables, data,
         if pair_dist is not None:
             ndcgs.extend(ndcg_for_batch(out, pair_dist, offset, ndcg_sigma))
 
-    if cfg.extras.get("corpus_eval") and mesh is None:
+    if cfg.extras.get("corpus_eval"):
         # one-dispatch whole-corpus eval (lax.map over stacked batches):
         # the per-batch python loop pays the host dispatch latency NB times
         # — on high-latency hosts (remote-execution backends) this path
-        # makes the full split a single device program
-        corpus = jax.jit(make_corpus_eval(
-            cfg, model, k_candidates=k_candidates, num_real_sources=s_real))
-        outs = jax.device_get(
-            corpus(variables, stack_batches(data, bs, num), src_db))
-        for ib in range(num // bs):
-            score_batch({k: v[ib] for k, v in outs.items()}, ib * bs)
-        cut = (num // bs) * bs
-        if cut < num:  # stack_batches drops the remainder — score it here
+        # makes the full split a single device program; with a mesh the
+        # stacked-batch axis shards over every device
+        n_dev = 1 if mesh is None else mesh.devices.size
+        nb = (num // bs) // n_dev * n_dev
+        corpus = make_corpus_eval(
+            cfg, model, k_candidates=k_candidates, num_real_sources=s_real,
+            mesh=mesh)
+        if nb:
+            outs = jax.device_get(
+                corpus(variables, stack_batches(data, bs, nb * bs), src_db))
+            for ib in range(nb):
+                score_batch({k: v[ib] for k, v in outs.items()}, ib * bs)
+        cut = nb * bs
+        if cut < num:  # sharded stacking drops a remainder — score it here
             step = jax.jit(make_eval_step(
                 cfg, model, k_candidates=k_candidates,
                 num_real_sources=s_real))
