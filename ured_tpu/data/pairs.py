@@ -88,6 +88,7 @@ def _resume_state(resume_dir: str, q_n: int, s_n: int):
 
     os.makedirs(resume_dir, exist_ok=True)
     out = {}
+    recreated = False
     for k in ("dcd", "cd_s", "cd_m"):
         p = os.path.join(resume_dir, f"{k}.npy")
         if os.path.exists(p):
@@ -95,13 +96,20 @@ def _resume_state(resume_dir: str, q_n: int, s_n: int):
             if m.shape != (q_n, s_n):
                 m = np.lib.format.open_memmap(p, mode="w+", dtype=np.float32,
                                               shape=(q_n, s_n))
+                recreated = True
         else:
             m = np.lib.format.open_memmap(p, mode="w+", dtype=np.float32,
                                           shape=(q_n, s_n))
+            recreated = True
         out[k] = m
     marker = os.path.join(resume_dir, "rows_done")
     start = 0
-    if os.path.exists(marker):
+    if recreated:
+        # a stale marker from a different-shape (or partially created) job
+        # must not skip rows that are now zeros
+        if os.path.exists(marker):
+            os.remove(marker)
+    elif os.path.exists(marker):
         try:
             start = int(open(marker).read().strip() or 0)
         except ValueError:
