@@ -115,9 +115,57 @@ def bench_emd(n: int = 1024, b: int = 8, iters: int = 5,
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def _stop_conflicting_runs():
+    """Concurrent clients wedge each other on single-chip remote backends
+    (FAILED_PRECONDITION / signal-6).  If a long resumable job (the
+    reference-scale chain under benchmarks/supervise.py) is live, stop its
+    process tree before benching — its stages resume from row markers and
+    checkpoints on the next launch."""
+    import os
+    import signal
+
+    for pidfile in ("/tmp/fullscale.pid",):
+        try:
+            pid = int(open(pidfile).read().strip())
+        except (OSError, ValueError):
+            continue
+        # kill the recorded pid and any direct children (supervisor+child)
+        for _ in range(2):
+            try:
+                kids = [int(x) for x in os.popen(
+                    f"ps -o pid= --ppid {pid}").read().split()]
+            except ValueError:
+                kids = []
+            for k in kids:
+                _stop_pid_tree(k, signal)
+            _stop_pid_tree(pid, signal)
+            import time
+
+            time.sleep(1)
+
+
+def _stop_pid_tree(pid: int, signal):
+    import os
+
+    try:
+        kids = [int(x) for x in os.popen(
+            f"ps -o pid= --ppid {pid}").read().split()]
+    except ValueError:
+        kids = []
+    for k in kids:
+        _stop_pid_tree(k, signal)
+    try:
+        os.kill(pid, signal.SIGKILL)
+        print(f"bench: stopped conflicting pid {pid}")
+    except ProcessLookupError:
+        pass
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _stop_conflicting_runs()
 
     from ured_tpu.config import URedConfig
     from ured_tpu.data import synthetic
