@@ -129,6 +129,13 @@ def _stop_conflicting_runs():
             pid = int(open(pidfile).read().strip())
         except (OSError, ValueError):
             continue
+        try:  # stale-pidfile safety: only kill the job we actually started
+            cmd = open(f"/proc/{pid}/cmdline").read()
+        except OSError:
+            continue
+        if not any(s in cmd for s in ("supervise", "reference_scale",
+                                      "wait_and_run")):
+            continue
         # kill the recorded pid and any direct children (supervisor+child)
         for _ in range(2):
             try:
