@@ -235,3 +235,26 @@ def test_rotate_pts_is_rigid():
     np.testing.assert_allclose(np.linalg.norm(out, axis=1),
                                np.linalg.norm(pts, axis=1), rtol=1e-5)
     assert not np.allclose(out, pts)
+
+
+def test_retrieval_accept_mask_matches_reference_oracle(rng):
+    """cl-acc acceptance (vectorized) vs a direct transcription of the
+    reference's per-query rule (dataset_utils.py:get_labels_from_cl:
+    1145-1161): accepted iff pred is in the query's own threshold-filtered
+    DCD top-10, or equals the single nearest source."""
+    from ured_tpu.utils.metrics import retrieval_accept_mask
+
+    s, n, thr = 25, 200, 0.5
+    dist = rng.uniform(size=(n, s)).astype(np.float32)
+    # inject ties and exact-threshold values to pin the comparison edges
+    dist[::7, 3] = dist[::7, 4]
+    dist[::11, 0] = thr
+    pred = rng.integers(0, s, size=n)
+
+    got = retrieval_accept_mask(pred, dist, thr)
+    for i in range(n):
+        order = np.argsort(dist[i], kind="stable")[:10]
+        filtered = [j for j in order if dist[i][j] < thr]
+        want = (len(filtered) > 0 and pred[i] in filtered) \
+            or pred[i] == order[0]
+        assert bool(got[i]) == want, i

@@ -94,14 +94,11 @@ def retrieval_accept_mask(pred: np.ndarray, dist_rows: np.ndarray,
     dist_rows = np.asarray(dist_rows)
     s = dist_rows.shape[-1]
     kk = min(k, s)
-    if kk < s:
-        cand = np.argpartition(dist_rows, kth=kk - 1, axis=-1)[..., :kk]
-    else:
-        cand = np.broadcast_to(np.arange(s), dist_rows.shape).copy()
-    cand_d = np.take_along_axis(dist_rows, cand, axis=-1)
-    order = np.argsort(cand_d, axis=-1, kind="stable")
-    topk = np.take_along_axis(cand, order, axis=-1)        # [..., k] sorted
-    topd = np.take_along_axis(cand_d, order, axis=-1)
+    # full stable argsort, not argpartition: ties straddling the top-k
+    # boundary must resolve exactly like the reference's sorted pickle rows
+    order = np.argsort(dist_rows, axis=-1, kind="stable")
+    topk = order[..., :kk]                                 # [..., k] sorted
+    topd = np.take_along_axis(dist_rows, topk, axis=-1)
     in_filtered = np.any((topk == pred[..., None]) &
                          (topd < threshold), axis=-1)
     return in_filtered | (pred == topk[..., 0])
