@@ -213,3 +213,15 @@ def test_corpus_eval_sharded_matches_single():
         np.testing.assert_allclose(np.asarray(sharded[k]),
                                    np.asarray(plain[k]), rtol=1e-5,
                                    atol=1e-6, err_msg=k)
+
+
+def test_ndcg_batch_matches_per_row():
+    from ured_tpu.utils.metrics import ndcg_batch, ndcg_from_topk
+
+    rng = np.random.default_rng(5)
+    rel = rng.uniform(size=(6, 30))
+    scores = rng.uniform(size=(6, 30))
+    topk = np.argsort(-scores, axis=-1)[:, :10]
+    got = ndcg_batch(rel, topk, k=10)
+    want = [ndcg_from_topk(rel[i], topk[i], k=10) for i in range(6)]
+    np.testing.assert_allclose(got, want, rtol=1e-12)
