@@ -119,6 +119,40 @@ def test_deformnet_matching(rng):
     assert out.shape == (b, p, 6)
 
 
+def test_masked_attention_padding_invariance(rng):
+    """With mask_attention on, poisoning the padded part slots' content
+    must not change the real parts' decoded params (the reference — and
+    our default — lets padding nodes influence real ones through softmax
+    attention and the global mean; masked attention plus a masked global
+    mean is the opt-in `masked_attention` improvement)."""
+    b, p, c = 2, 8, 16
+    tgt = jnp.asarray(rng.normal(size=(b, c)), jnp.float32)
+    src = jnp.asarray(rng.normal(size=(b, p, c)), jnp.float32)
+    mask = jnp.asarray(np.array([[1] * 5 + [0] * 3, [1] * 6 + [0] * 2],
+                                np.float32))
+    m = DeformNetMatching(input_dim=3 * c, graph_dim=c, max_num_parts=p,
+                          mask_attention=True)
+    variables = m.init(jax.random.PRNGKey(0), tgt, src, train=False,
+                       part_mask=mask)
+    out1 = m.apply(variables, tgt, src, train=False, part_mask=mask)
+    poisoned = src + 1e3 * (1.0 - mask)[..., None]
+    out2 = m.apply(variables, tgt, poisoned, train=False, part_mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(out1) * np.asarray(mask)[..., None],
+        np.asarray(out2) * np.asarray(mask)[..., None], atol=1e-4)
+
+    # default (reference-parity) mode: padding DOES leak — guard that the
+    # opt-in actually changes behavior
+    m0 = DeformNetMatching(input_dim=3 * c, graph_dim=c, max_num_parts=p)
+    v0 = m0.init(jax.random.PRNGKey(0), tgt, src, train=False,
+                 part_mask=mask)
+    a = m0.apply(v0, tgt, src, train=False, part_mask=mask)
+    bb = m0.apply(v0, tgt, poisoned, train=False, part_mask=mask)
+    assert not np.allclose(np.asarray(a) * np.asarray(mask)[..., None],
+                           np.asarray(bb) * np.asarray(mask)[..., None],
+                           atol=1e-4)
+
+
 def test_residual_net(rng):
     x = jnp.asarray(rng.normal(size=(2, 64, 24)), jnp.float32)
     m = ResidualNet(input_dim=24)

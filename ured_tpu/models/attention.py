@@ -19,14 +19,21 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def softmax_attention(q: Array, k: Array, v: Array):
+def softmax_attention(q: Array, k: Array, v: Array,
+                      key_mask: Optional[Array] = None):
     """q/k/v: [B, H, N|M, Dh] -> (out [B, H, N, Dh], attn [B, H, N, M]).
 
     Scale is per-head dim^-0.5 (reference ``attention.py:8-19``).
-    """
+    ``key_mask`` [B, M]: optional key validity — masked keys get -inf
+    logits, so padded nodes receive zero attention (the reference attends
+    to its padding slots unmasked; this is the opt-in improvement behind
+    the ``masked_attention`` extra)."""
     dh = q.shape[-1]
     logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                         preferred_element_type=jnp.float32) * dh ** -0.5
+    if key_mask is not None:
+        neg = jnp.finfo(logits.dtype).min
+        logits = jnp.where(key_mask[:, None, None, :] > 0, logits, neg)
     attn = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
                      preferred_element_type=jnp.float32)
@@ -111,7 +118,7 @@ class MultiheadAttention(nn.Module):
     attention: str = "softmax"  # 'softmax' | 'linear' | 'favor' | 'generalized_favor'
 
     @nn.compact
-    def __call__(self, query, key, value):
+    def __call__(self, query, key, value, key_mask=None):
         b = query.shape[0]
         hd = self.embed_dim // self.num_heads
 
@@ -124,8 +131,10 @@ class MultiheadAttention(nn.Module):
         k = split(nn.Dense(self.embed_dim, name="in_proj_k")(key))
         v = split(nn.Dense(self.embed_dim, name="in_proj_v")(value))
 
+        if key_mask is not None and self.attention != "softmax":
+            raise ValueError("key_mask requires softmax attention")
         if self.attention == "softmax":
-            out, attn = softmax_attention(q, k, v)
+            out, attn = softmax_attention(q, k, v, key_mask=key_mask)
         elif self.attention == "linear":
             out, attn = linear_attention_elu(q, k, v)
         elif self.attention in ("favor", "generalized_favor"):

@@ -65,6 +65,7 @@ class DeformNetMatching(nn.Module):
     attention: str = "softmax"
     axis_name: Any = None  # SyncBN mesh axis
     bn_stats_mode: str = "two_pass"  # see MaskedBatchNorm.stats_mode
+    mask_attention: bool = False  # padded KEY nodes get zero attention
 
     @nn.compact
     def __call__(self, target_f, src_part_f, per_point_f=None,
@@ -79,13 +80,20 @@ class DeformNetMatching(nn.Module):
         part_encoding = PointMLP(  # noqa: F841
             [128, self.graph_dim], norm="none", name="part_encoding")
 
-        global_src_f = jnp.mean(src_part_f, axis=1)           # [B, C]
+        if self.mask_attention and part_mask is not None:
+            # masked mean: the global source node must not ingest padding
+            w = part_mask[..., None]
+            global_src_f = jnp.sum(src_part_f * w, axis=1) / \
+                jnp.maximum(jnp.sum(w, axis=1), 1e-6)
+        else:  # reference parity: plain mean over all slots (ref :84)
+            global_src_f = jnp.mean(src_part_f, axis=1)       # [B, C]
         global_node = jnp.stack([global_src_f, target_f], axis=1)  # [B, 2, C]
 
         gat = GraphAttentionNet(self.num_stages, self.graph_dim,
                                 self.num_heads, self.attention,
                                 self.use_offset, axis_name=self.axis_name,
                                 bn_stats_mode=self.bn_stats_mode,
+                                mask_attention=self.mask_attention,
                                 name="graph_attention_net")
         global_a, part_a = gat(global_node, src_part_f, train=train,
                                mask1=part_mask)

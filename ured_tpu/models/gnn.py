@@ -28,14 +28,19 @@ class ResidualAttentionBlock(nn.Module):
     norm: str = "batch"
     axis_name: str = None  # SyncBN mesh axis
     bn_stats_mode: str = "two_pass"  # see MaskedBatchNorm.stats_mode
+    mask_attention: bool = False  # padded KEY nodes get zero attention
 
     @nn.compact
-    def __call__(self, desc_q, desc_kv, train: bool = True, mask=None):
+    def __call__(self, desc_q, desc_kv, train: bool = True, mask=None,
+                 kv_mask=None):
         """``mask`` [B, Nq]: query-node validity for batch statistics —
-        padded part nodes must not pollute the FFN's BatchNorm stats."""
+        padded part nodes must not pollute the FFN's BatchNorm stats.
+        ``kv_mask`` [B, Nkv]: key validity, applied only under
+        ``mask_attention`` (the reference attends to padding unmasked)."""
         message, _ = MultiheadAttention(
             self.embed_dim, self.num_heads, self.attention,
-            name="mha")(desc_q, desc_kv, desc_kv)
+            name="mha")(desc_q, desc_kv, desc_kv,
+                        key_mask=kv_mask if self.mask_attention else None)
         if self.use_offset:
             cat = jnp.concatenate([desc_q - message, message], axis=-1)
         else:
@@ -59,25 +64,34 @@ class GraphAttentionNet(nn.Module):
     use_offset: bool = False
     axis_name: str = None  # SyncBN mesh axis
     bn_stats_mode: str = "two_pass"  # see MaskedBatchNorm.stats_mode
+    mask_attention: bool = False  # padded KEY nodes get zero attention
 
     @nn.compact
     def __call__(self, desc0, desc1, train: bool = True,
                  mask0=None, mask1=None):
         """``mask0``/``mask1`` [B, N0]/[B, N1]: node validity per set,
-        forwarded as the batch-statistic row masks of the shared blocks."""
+        forwarded as the batch-statistic row masks of the shared blocks
+        (and, under ``mask_attention``, as key masks so padded nodes stop
+        influencing real ones)."""
         for s in range(self.num_stages):
             self_block = ResidualAttentionBlock(
                 self.embed_dim, self.num_heads, self.attention,
                 self.use_offset, axis_name=self.axis_name,
-                bn_stats_mode=self.bn_stats_mode, name=f"self_{s}")
-            desc0 = self_block(desc0, desc0, train=train, mask=mask0)
-            desc1 = self_block(desc1, desc1, train=train, mask=mask1)
+                bn_stats_mode=self.bn_stats_mode,
+                mask_attention=self.mask_attention, name=f"self_{s}")
+            desc0 = self_block(desc0, desc0, train=train, mask=mask0,
+                               kv_mask=mask0)
+            desc1 = self_block(desc1, desc1, train=train, mask=mask1,
+                               kv_mask=mask1)
 
             cross_block = ResidualAttentionBlock(
                 self.embed_dim, self.num_heads, self.attention,
                 self.use_offset, axis_name=self.axis_name,
                 bn_stats_mode=self.bn_stats_mode,
+                mask_attention=self.mask_attention,
                 name=f"cross_{s}")
-            desc0 = cross_block(desc0, desc1, train=train, mask=mask0)
-            desc1 = cross_block(desc1, desc0, train=train, mask=mask1)
+            desc0 = cross_block(desc0, desc1, train=train, mask=mask0,
+                                kv_mask=mask1)
+            desc1 = cross_block(desc1, desc0, train=train, mask=mask1,
+                                kv_mask=mask0)
         return desc0, desc1

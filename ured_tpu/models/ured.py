@@ -73,6 +73,7 @@ class URED(nn.Module):
             part_latent_dim=c.part_latent_dim,
             max_num_parts=c.MAX_NUM_PARTS,
             matching=False, axis_name=bn_axis, bn_stats_mode=bn_stats,
+            mask_attention=bool(c.extras.get("masked_attention", False)),
             name="param_decoder_full")
         self.embedding_layer = nn.Embed(
             c.num_semantic_classes, c.sem_latent_dim, name="embedding_layer")
