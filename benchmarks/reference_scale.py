@@ -57,6 +57,14 @@ def main(argv):
     results = {"scale": {"targets": num_targets, "sources": num_sources,
                          "epochs": epochs}}
 
+    def checkpoint_results():
+        # incremental dump: a killed/interrupted chain still leaves the
+        # per-stage evidence collected so far
+        results["stage_seconds"] = timings
+        results["total_seconds"] = round(sum(timings.values()), 1)
+        with open(out_json, "w") as f:
+            json.dump(results, f, indent=1)
+
     def stage(name):
         class _T:
             def __enter__(self):
@@ -66,6 +74,7 @@ def main(argv):
             def __exit__(self, *exc):
                 timings[name] = round(time.monotonic() - self.t0, 1)
                 print(f"=== {name}: {timings[name]} s ===", flush=True)
+                checkpoint_results()
         return _T()
 
     with stage("generate"):
@@ -135,10 +144,7 @@ def main(argv):
         results["vis_metrics"] = vis_cli.main(
             ["vis", cfg_vis, os.path.join(base, "vis_out")])
 
-    results["stage_seconds"] = timings
-    results["total_seconds"] = round(sum(timings.values()), 1)
-    with open(out_json, "w") as f:
-        json.dump(results, f, indent=1)
+    checkpoint_results()
     print(json.dumps(results))
 
 
