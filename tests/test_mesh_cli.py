@@ -113,3 +113,36 @@ def test_evaluate_cli_mesh_matches_single_device():
                                    err_msg=k)
     # best-of-k contract: the candidate sweep can only improve on top-1
     assert want["best_full_cd_loss"] <= want["cd_loss_top1"] + 1e-6
+
+
+def test_evaluate_cli_mesh_corpus_eval_matches_single_device():
+    """Mesh + ``corpus_eval: true``: the stacked-batch axis shards over all
+    8 devices (with the db-padded source DB regathered inside shard_map and
+    padded rows masked by num_real_sources) — same metrics as the plain
+    single-device run, including the non-divisible remainder batches."""
+    from ured_tpu.engine.evaluate import evaluate
+    from ured_tpu.engine.train import init_state, make_optimizer
+    from ured_tpu.models.ured import URED
+
+    # 20 targets at bs 2 -> 10 batches: 8 sharded over the 2x2 mesh + 2
+    # through the per-batch remainder path
+    data = _data(num_targets=20, num_sources=9)
+    cfg = _tiny_cfg(batch_size=2)
+    cfg.extras["ndcg_sigma"] = 0.1
+    model = URED(cfg)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic.make_batch(data, np.arange(8), 8).items()}
+    tx, _ = make_optimizer(cfg, 1)
+    state = init_state(cfg, model, tx, batch)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    want = evaluate(cfg, model, variables, data)
+
+    mesh_cfg = dataclasses.replace(
+        cfg, mesh_dp=2, mesh_db=2,
+        extras=dict(cfg.extras, corpus_eval=True))
+    got = evaluate(mesh_cfg, model, variables, data)
+
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-3, atol=1e-5,
+                                   err_msg=k)

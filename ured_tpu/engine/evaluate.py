@@ -91,7 +91,8 @@ def make_eval_step(cfg: URedConfig, model: URED, k_candidates: int = 1,
                 mesh=mesh, src_valid=src_db.get("valid"))
         else:
             scores, idx = retrieve_topk(
-                part_f.reshape(b * p, -1), src_db["codes"], k=k_ret)
+                part_f.reshape(b * p, -1), src_db["codes"], k=k_ret,
+                src_valid=src_db.get("valid"))
         sim_topk = idx.reshape(b, p, k_ret)                 # [B, P, Kr]
         sim_topk_scores = scores.reshape(b, p, k_ret)
         topk = sim_topk[..., :k_candidates]                 # [B, P, K]

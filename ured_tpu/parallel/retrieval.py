@@ -55,15 +55,20 @@ def encode_source_db(model, variables, src_points: Array, src_sems: Array,
     return jnp.concatenate(codes), jnp.concatenate(pps)
 
 
-def retrieve_topk(tgt_part_f: Array, src_codes: Array, k: int
+def retrieve_topk(tgt_part_f: Array, src_codes: Array, k: int,
+                  src_valid: Optional[Array] = None
                   ) -> Tuple[Array, Array]:
     """Cosine-similarity retrieval (single device).
 
     tgt_part_f [Q, C], src_codes [S, C] -> (scores [Q, k], idx [Q, k]).
+    ``src_valid`` [S]: 0 marks padding rows (a db-sharded DB regathered to
+    one device keeps its padding) — they score -1e9 and never rank.
     """
     q = l2_normalize(tgt_part_f)
     s = l2_normalize(src_codes)
     sims = jnp.einsum("qc,sc->qs", q, s, preferred_element_type=jnp.float32)
+    if src_valid is not None:
+        sims = jnp.where(src_valid[None, :] > 0, sims, -1e9)
     scores, idx = jax.lax.top_k(sims, k)
     return scores, idx.astype(jnp.int32)
 
