@@ -213,6 +213,14 @@ def test_mesh_utilities_roundtrip():
     comp_lab = mesh_connected_components(f2, face_labels=np.array([0, 1]))
     assert comp_lab[0] != comp_lab[1]
 
+    # non-manifold edge shared by THREE faces, labels A/B/A: the two
+    # same-label faces must connect even though a different-label owner
+    # sits between them in edge-group order
+    f3 = np.array([[1, 2, 0], [1, 2, 3], [1, 2, 4]], np.int64)
+    c3 = mesh_connected_components(f3, face_labels=np.array([0, 1, 0]))
+    assert c3[0] == c3[2]
+    assert c3[0] != c3[1]
+
     pts = np.array([[0.3, 0.3, 0], [5.3, 0.3, 0]], np.float32)
     lab = np.array([7, 9])
     face_lab = transfer_label_to_faces(v, f, pts, lab)

@@ -196,6 +196,43 @@ def test_export_assembly_welds_coretrieved_parts(tmp_path):
     np.testing.assert_allclose(b1 @ p_proj[0], b2 @ p_proj[1], atol=1e-8)
 
 
+def test_export_welding_duplicate_retrieved_part(tmp_path):
+    """Two target slots retrieving the SAME source part must be treated as
+    separate shape instances: duplicated 6-dof blocks inside one projector
+    would relax each joint constraint C_i.p = 0 into C_i.(p1+p2) = 0.  The
+    mixed case [part0, part1, part0-again] welds the first pair and leaves
+    the extra copy alone."""
+    parts, c, proj = _jointed_shape(tmp_path)
+    from ured_tpu.engine.export import export_deformed_assembly
+
+    rng = np.random.default_rng(5)
+    deltas = rng.normal(scale=0.3, size=(3, 6))
+    defaults = np.stack([p.default_param for p in parts]
+                        + [parts[0].default_param])
+    alpha = 0.5
+    mats = [parts[0].vertices_mat, parts[1].vertices_mat,
+            parts[0].vertices_mat]
+    faces = [parts[0].faces, parts[1].faces, parts[0].faces]
+
+    paths = export_deformed_assembly(
+        str(tmp_path / "out_dup"), "t0", mats, faces,
+        deltas, defaults, alpha=alpha,
+        shape_keys=["42", "42", "42"], constraint_mats=[c, c, c],
+        part_indices=[0, 1, 0])
+
+    p_abs = alpha * deltas + defaults
+    # instance 0 = slots (0, 1): welded through the whole-shape projector
+    p_weld = (proj @ p_abs[:2].reshape(12)).reshape(2, 6)
+    v0, _ = io.read_obj(paths[0])
+    np.testing.assert_allclose(
+        v0, (parts[0].vertices_mat @ p_weld[0]).reshape(-1, 3), atol=1e-5)
+    # instance 1 = slot 2 alone: its single-block subset has no applicable
+    # constraints, so its params pass through unprojected
+    v2, _ = io.read_obj(paths[2])
+    np.testing.assert_allclose(
+        v2, (parts[0].vertices_mat @ p_abs[2]).reshape(-1, 3), atol=1e-5)
+
+
 def test_run_vis_with_use_connectivity(tmp_path):
     """cfg.use_connectivity drives the vis export path end-to-end: a
     constraint-bearing SourceDB (meshes + per-row C/projector/part index)

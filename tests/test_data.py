@@ -106,6 +106,32 @@ def test_pair_matrix_resume_matches_fresh(tmp_path, rng):
         assert not np.any(resumed[k] == -777.0)
 
 
+def test_dist_src_cache_invalidates_on_source_change(tmp_path):
+    """The [S, S] dist_src cache is keyed by a content fingerprint of the
+    source clouds: a regenerated source set of the SAME size must recompute
+    instead of silently reusing the stale matrix."""
+    from ured_tpu.config import URedConfig
+    from ured_tpu.data.corpus import build_pair_archive
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(2, 32, 3)).astype(np.float32)
+    labels = np.zeros((2, 32), np.int64)
+    src_a = rng.normal(size=(3, 16, 3)).astype(np.float32)
+    src_b = rng.normal(size=(3, 16, 3)).astype(np.float32)  # same shape
+
+    cfg = URedConfig(base_dir=str(tmp_path), category="chair",
+                     num_source=3, MAX_NUM_PARTS=2)
+    arch_a = build_pair_archive(cfg, pts, labels, src_a,
+                                chunk_q=2, chunk_s=2)
+    arch_b = build_pair_archive(cfg, pts, labels, src_b,
+                                chunk_q=2, chunk_s=2)
+    assert not np.allclose(arch_a["dist_src"], arch_b["dist_src"])
+    # and a repeat with the SAME sources hits the cache exactly
+    arch_b2 = build_pair_archive(cfg, pts, labels, src_b,
+                                 chunk_q=2, chunk_s=2)
+    np.testing.assert_array_equal(arch_b["dist_src"], arch_b2["dist_src"])
+
+
 def test_build_label_table_semantics():
     # 2 targets x 2 parts, 4 sources; distances crafted so that:
     # part (0,0): nearest source 1 is wrong-sem, source 0 right-sem -> 0

@@ -134,6 +134,38 @@ def test_train_resume_from_checkpoint(tmp_path):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_train_resume_from_mid_epoch_checkpoint(tmp_path):
+    """A run interrupted MID-epoch (num_steps not a multiple of
+    steps_per_epoch) leaves a final-step checkpoint; resume must continue
+    from the exact optimizer step it covers — not round up to the next
+    epoch boundary and silently skip the rest of that epoch."""
+    cfg = _tiny_cfg()
+    cfg.extras.update(synthetic_targets=8, synthetic_sources=6)
+    cfg.epochs = 2   # 2 steps/epoch at bs=4 over 8 targets -> 4 steps total
+    cfg.save_epoch = 1
+    ckpt = str(tmp_path / "full")
+    full_state, _ = train(cfg, log_every=100, checkpoint_dir=ckpt)
+    assert int(full_state.step) == 4
+
+    cfg2 = _tiny_cfg()
+    cfg2.extras.update(synthetic_targets=8, synthetic_sources=6)
+    cfg2.epochs = 2
+    cfg2.save_epoch = 1
+    ckpt2 = str(tmp_path / "resumed")
+    # interrupt after 3 of 4 steps: one step into epoch 1
+    train(cfg2, num_steps=3, log_every=100, checkpoint_dir=ckpt2)
+    cfg2.extras["resume"] = True
+    resumed_state, metrics = train(cfg2, log_every=100,
+                                   checkpoint_dir=ckpt2)
+
+    assert int(resumed_state.step) == int(full_state.step)
+    assert metrics, "resumed run must actually run the remaining step"
+    a = np.asarray(
+        resumed_state.params["target_encoder_full"]["fc"]["kernel"])
+    b = np.asarray(full_state.params["target_encoder_full"]["fc"]["kernel"])
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_train_on_partial_targets():
     cfg = _tiny_cfg()
     cfg.extras["synthetic_targets"] = 8

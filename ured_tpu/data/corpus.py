@@ -161,6 +161,17 @@ def pair_archive_path(cfg: URedConfig, split: Optional[str] = None) -> str:
         f"{cfg.category}_{cfg.num_source}_{split}_pairs.npz")
 
 
+def _source_fingerprint(src_points: np.ndarray) -> str:
+    """Content hash of the source clouds that key the dist_src cache."""
+    import hashlib
+
+    a = np.ascontiguousarray(src_points, np.float32)
+    h = hashlib.sha1()
+    h.update(np.asarray(a.shape, np.int64).tobytes())
+    h.update(a.tobytes())
+    return h.hexdigest()
+
+
 def build_pair_archive(cfg: URedConfig, points: np.ndarray,
                        labels: np.ndarray, src_points: np.ndarray,
                        cache_path: Optional[str] = None,
@@ -202,19 +213,29 @@ def build_pair_archive(cfg: URedConfig, points: np.ndarray,
         archive[k] = full.reshape(t, p, s)
     # dist_src depends only on the source DB, not the split — cache it per
     # (category, num_source) so the test-split archive reuses the train
-    # split's [S, S] job (~20 min at the reference's 6340 sources)
+    # split's [S, S] job (~20 min at the reference's 6340 sources).  The
+    # cache is validated by a content fingerprint of the source clouds, not
+    # just shape: a regenerated source set of the same size must never
+    # silently reuse a stale matrix.
     ds_path = os.path.join(cfg.base_dir, "pairs",
                            f"{cfg.category}_{cfg.num_source}_dist_src.npy")
-    if os.path.exists(ds_path):
-        dist_src = np.load(ds_path)
-        if dist_src.shape != (s, s):
-            dist_src = pairs.source_pair_matrix(src_points, chunk=chunk_s)
-    else:
+    fp_path = ds_path + ".fp"
+    fp = _source_fingerprint(src_points)
+    dist_src = None
+    if os.path.exists(ds_path) and os.path.exists(fp_path):
+        with open(fp_path) as f:
+            if f.read().strip() == fp:
+                cand = np.load(ds_path)
+                if cand.shape == (s, s):
+                    dist_src = cand
+    if dist_src is None:
         os.makedirs(os.path.dirname(ds_path), exist_ok=True)
         dist_src = pairs.source_pair_matrix(
             src_points, chunk=chunk_s, chunk_q=chunk_q,
             resume_dir=ds_path + ".partial", mesh=device_mesh)
         np.save(ds_path, dist_src)
+        with open(fp_path, "w") as f:
+            f.write(fp)
         shutil.rmtree(ds_path + ".partial", ignore_errors=True)
     archive["dist_src"] = dist_src
     if cache_path:

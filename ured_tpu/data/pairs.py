@@ -118,11 +118,13 @@ def _resume_state(resume_dir: str, q_n: int, s_n: int):
 
 
 def _mark_rows(marker: str, rows_done: int) -> None:
+    import os
+
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(rows_done))
-    import os
-
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, marker)
 
 
@@ -215,6 +217,11 @@ def pair_distance_matrix(queries: np.ndarray, sources: np.ndarray,
                 out["cd_s"][i:i + bq, j:j + bs] = cd_s[:bq, :bs]
                 out["cd_m"][i:i + bq, j:j + bs] = cd_m[:bq, :bs]
         if marker is not None:
+            # flush the row block's dirty memmap pages to disk BEFORE
+            # advancing the marker — a crash between the two must never
+            # leave the marker claiming rows whose data was lost
+            for m in out.values():
+                m.flush()
             _mark_rows(marker, row + 1)
         now = time.monotonic()
         if progress and now >= next_report:

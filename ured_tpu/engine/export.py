@@ -111,11 +111,18 @@ def export_deformed_assembly(
 
     if shape_keys is not None and constraint_mats is not None \
             and part_indices is not None:
+        # group co-retrieved parts per owning-shape INSTANCE: when two
+        # target slots retrieve the SAME source part, each copy is its own
+        # instance of the shape (duplicated blocks inside one projector
+        # would turn each joint constraint C_i.p = 0 into C_i.(p1+p2) = 0)
         groups: dict = {}
+        occ: dict = {}
         for i in live:
             if constraint_mats[i] is None or part_indices[i] < 0:
                 continue
-            groups.setdefault(shape_keys[i], []).append(i)
+            inst = occ.get((shape_keys[i], part_indices[i]), 0)
+            occ[(shape_keys[i], part_indices[i])] = inst + 1
+            groups.setdefault((shape_keys[i], inst), []).append(i)
         for ids in groups.values():
             if len(ids) > 1:
                 p_abs = _project_group_params(

@@ -366,8 +366,13 @@ def train(cfg: URedConfig, num_steps: Optional[int] = None,
         last = latest_step(checkpoint_dir)
         if last is not None:
             state = restore_checkpoint(checkpoint_dir, state)
-            start_step = (last + 1) * steps_per_epoch
-            print(f"resume: restored epoch {last} checkpoint; "
+            # the restored optimizer step count is the ground truth for how
+            # many steps the checkpoint covers — labels (epoch in older
+            # trees, steps-completed now) need not be trusted, and a final
+            # MID-epoch save (step+1 == total_steps) resumes exactly where
+            # it stopped instead of skipping the rest of that epoch
+            start_step = int(state.step)
+            print(f"resume: restored checkpoint {last}; "
                   f"continuing at step {start_step}", flush=True)
 
     augment = make_augment_fn(cfg)
@@ -477,7 +482,9 @@ def train(cfg: URedConfig, num_steps: Optional[int] = None,
                      or step + 1 == total_steps):
             from ured_tpu.utils.checkpoint import save_checkpoint
 
-            save_checkpoint(checkpoint_dir, state, step=epoch)
+            # label = optimizer steps completed (strictly monotonic even
+            # for the extra final-step save of a short/mid-epoch run)
+            save_checkpoint(checkpoint_dir, state, step=step + 1)
     if pending is not None:
         flush(pending)
     return state, metrics

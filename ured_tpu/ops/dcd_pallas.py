@@ -42,12 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-# [N, M] distance block + packed block live at once; keep the pair under
-# the ~16 MB/core VMEM budget with head-room
+# [N, M] distance block + per-direction vectors live at once; keep the
+# pair under the ~16 MB/core VMEM budget with head-room
 _MAX_PAIR_ELEMS = 1_200_000
-
-_IDX_BITS = 14                       # supports N, M <= 16384
-_IDX_MASK = (1 << _IDX_BITS) - 1
 
 
 def _direction(a, b):
@@ -104,8 +101,6 @@ def pair_dcd_pallas(x: Array, y: Array, alpha: float = 1000.0,
     m = y.shape[1]
     if n * m > _MAX_PAIR_ELEMS:
         raise ValueError(f"pair [N={n}, M={m}] exceeds the VMEM budget")
-    if max(n, m) > (1 << _IDX_BITS):
-        raise ValueError(f"packed one-hot supports N, M <= {1 << _IDX_BITS}")
 
     vm = pltpu.VMEM
     d1, w1, d2, w2 = pl.pallas_call(
@@ -149,6 +144,6 @@ def pair_dcd_pallas(x: Array, y: Array, alpha: float = 1000.0,
 def pair_dcd_eligible(n: int, m: int) -> bool:
     """Whether the fused kernel's VMEM budget admits this pair shape (and
     a TPU-family backend is active)."""
-    if n * m > _MAX_PAIR_ELEMS or max(n, m) > (1 << _IDX_BITS):
+    if n * m > _MAX_PAIR_ELEMS:
         return False
     return jax.devices()[0].platform not in ("cpu", "gpu")

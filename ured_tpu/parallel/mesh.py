@@ -22,6 +22,8 @@ def resolve_mesh(cfg) -> Optional[Mesh]:
     dp, db = int(cfg.mesh_dp), int(cfg.mesh_db)
     if db < 1:
         raise ValueError(f"mesh_db must be >= 1, got {db}")
+    if dp < 0:
+        raise ValueError(f"mesh_dp must be >= 0 (0 = auto), got {dp}")
     if dp == 0:
         n = jax.device_count()
         if n % db:

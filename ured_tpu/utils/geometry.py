@@ -121,12 +121,18 @@ def mesh_connected_components(faces: np.ndarray,
     edges = np.concatenate([tri[:, [0, 1]], tri[:, [1, 2]],
                             tri[:, [0, 2]]], axis=0)      # [3F, 2]
     owner = np.tile(np.arange(nf), 3)
-    order = np.lexsort((edges[:, 1], edges[:, 0]))
+    # sort by (edge, label) so that on a non-manifold edge shared by 3+
+    # faces, same-label owners are consecutive — consecutive-pair linking
+    # then chains them transitively even when another label interleaves
+    if face_labels is not None:
+        lab = np.asarray(face_labels)
+        order = np.lexsort((lab[owner], edges[:, 1], edges[:, 0]))
+    else:
+        order = np.lexsort((edges[:, 1], edges[:, 0]))
     edges, owner = edges[order], owner[order]
     same = (edges[1:] == edges[:-1]).all(axis=1)
     a, b = owner[:-1][same], owner[1:][same]
     if face_labels is not None:
-        lab = np.asarray(face_labels)
         keep = lab[a] == lab[b]
         a, b = a[keep], b[keep]
     adj = coo_matrix((np.ones(len(a)), (a, b)), shape=(nf, nf))

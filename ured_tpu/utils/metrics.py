@@ -63,16 +63,13 @@ def retrieval_topk_accuracy(pred_top1: np.ndarray, dist_rows: np.ndarray,
                             threshold: float, k: int = 10) -> float:
     """Fraction of queries whose predicted source is within the DCD top-k
     (under the distance threshold) or is the single best (reference
-    ``dataset_utils.py:get_labels_from_cl:1145-1161``)."""
-    correct = 0
-    n = pred_top1.shape[0]
-    for i in range(n):
-        order = np.argsort(dist_rows[i])[:k]
-        filtered = [j for j in order if dist_rows[i][j] < threshold]
-        if (len(filtered) and pred_top1[i] in filtered) \
-                or pred_top1[i] == order[0]:
-            correct += 1
-    return 100.0 * correct / max(n, 1)
+    ``dataset_utils.py:get_labels_from_cl:1145-1161``).  Thin mean over
+    ``retrieval_accept_mask`` so the two never diverge on tie semantics."""
+    pred_top1 = np.asarray(pred_top1)
+    if pred_top1.size == 0:
+        return 0.0
+    mask = retrieval_accept_mask(pred_top1, dist_rows, threshold, k)
+    return 100.0 * float(mask.mean())
 
 
 def retrieval_accept_mask(pred: np.ndarray, dist_rows: np.ndarray,
