@@ -1,0 +1,108 @@
+"""Serving surface: InferenceSession, request padding, AOT artifact.
+
+The reference has no serving path (closest: the ``vis.py`` batch loop);
+this is the deployment capability the rebuilt framework adds on top.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from ured_tpu.config import URedConfig
+from ured_tpu.engine.serve import InferenceSession, load_artifact
+
+
+def _tiny_cfg(**kw):
+    base = dict(batch_size=4, MAX_NUM_PARTS=8, num_target_points=64,
+                num_part_points=16, sem_latent_dim=8, source_latent_dim=16,
+                target_latent_dim=16, part_latent_dim=16, epochs=1)
+    base.update(kw)
+    cfg = URedConfig(**base)
+    cfg.extras.update(synthetic_targets=8, synthetic_sources=6)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def session():
+    return InferenceSession.from_config(_tiny_cfg())
+
+
+@pytest.fixture(scope="module")
+def requests_batch():
+    from ured_tpu.engine.train import resolve_corpus
+
+    data = resolve_corpus(_tiny_cfg())
+    b = data.make_batch(np.arange(6))
+    return b["x"], b["labels"], b["tgt_sem"]
+
+
+def test_predict_shapes_and_padding(session, requests_batch):
+    pts, labels, sems = requests_batch
+    # 6 requests over batch_size=4 -> two padded program invocations
+    out = session.predict(pts, labels, sems)
+    assert out["cd_full"].shape == (6,)
+    assert out["top1"].shape == (6, 8)
+    assert out["deformed"].shape[0] == 6
+    assert np.all(np.isfinite(out["cd_full"]))
+
+    # padding must not perturb results: a 3-request call equals the first
+    # three rows of the 6-request call (eval mode is per-sample independent)
+    out3 = session.predict(pts[:3], labels[:3], sems[:3])
+    np.testing.assert_allclose(out3["cd_full"], out["cd_full"][:3],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(out3["top1"], out["top1"][:3])
+
+
+def test_predict_single_request(session, requests_batch):
+    pts, labels, sems = requests_batch
+    one = session.predict(pts[0], labels[0], sems[0])
+    assert one["cd_full"].shape == ()
+    batch = session.predict(pts[:1], labels[:1], sems[:1])
+    np.testing.assert_allclose(one["cd_full"], batch["cd_full"][0],
+                               rtol=1e-6)
+
+
+def test_artifact_roundtrip(session, requests_batch):
+    """The serialized StableHLO artifact reproduces the live session."""
+    import jax.numpy as jnp
+
+    pts, labels, sems = requests_batch
+    blob = session.export_artifact()
+    assert isinstance(blob, bytes) and len(blob) > 0
+    served = load_artifact(blob)
+
+    batch = {"x": jnp.asarray(pts[:4], jnp.float32),
+             "labels": jnp.asarray(labels[:4], jnp.int32),
+             "tgt_sem": jnp.asarray(sems[:4], jnp.int32)}
+    live = session._step(session.variables, batch, session.src_db)
+    art = served(batch)
+    np.testing.assert_allclose(np.asarray(art["cd_full"]),
+                               np.asarray(live["cd_full"]), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(art["top1"]),
+                                  np.asarray(live["top1"]))
+
+
+def test_serve_cli(tmp_path):
+    from ured_tpu.engine import serve
+
+    from ured_tpu.engine.train import resolve_corpus
+
+    cfg = _tiny_cfg()
+    cfg_path = tmp_path / "cfg.json"
+    cfg.to_json(str(cfg_path))
+
+    data = resolve_corpus(_tiny_cfg())
+    b = data.make_batch(np.arange(5))
+    req_path = str(tmp_path / "req.npz")
+    np.savez(req_path, points=b["x"], labels=b["labels"],
+             tgt_sem=b["tgt_sem"])
+
+    out_path = str(tmp_path / "resp.npz")
+    art_path = str(tmp_path / "art.bin")
+    out = serve.main(["serve", str(cfg_path), req_path, out_path,
+                      "--artifact", art_path])
+    assert np.all(np.isfinite(out["cd_full"]))
+    resp = np.load(out_path)
+    assert resp["cd_full"].shape[0] == 5
+    assert len(open(art_path, "rb").read()) > 0

@@ -1,0 +1,243 @@
+"""Production inference serving for retrieval + deformation.
+
+The reference has no serving surface — its closest path is the ``vis.py``
+batch loop (``vis.py:153-299``).  This module packages the flagship
+inference (encode target -> retrieve over the source DB -> decode per-part
+deformation params -> assemble the deformed shape) as:
+
+  * :class:`InferenceSession` — device-resident encoded source DB + a
+    jitted fixed-shape predict step with request padding, ready to sit
+    behind a request loop;
+  * AOT export via ``jax.export`` — a serialized StableHLO artifact with
+    the weights and the encoded DB baked in as constants, reloadable on a
+    serving host that has only jax + the artifact (no model code);
+  * a CLI: ``python -m ured_tpu.engine.serve cfg.json [requests.npz]
+    [out.npz] [--artifact art.bin]``.
+
+The predict step reuses :func:`ured_tpu.engine.evaluate.make_eval_step`
+(the eval contract of reference ``test.py:146-283``), so serving and eval
+can never drift.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ured_tpu.config import URedConfig
+from ured_tpu.models.ured import URED
+
+# the lean serving payload (the eval step also returns ranking tensors the
+# host metric loop consumes; a serving response doesn't need them)
+SERVE_KEYS = ("top1", "params", "deformed", "cd_full", "re_score",
+              "part_mask", "param_def")
+
+
+class InferenceSession:
+    """Batched retrieval+deformation inference over a fixed source DB.
+
+    Requests are (points [N, 3], labels [N], tgt_sem [N]) triples — the
+    reference's target inputs (``partnet_dataset.py:86``); the session pads
+    any request count to the fixed batch shape, runs the jitted step, and
+    unpads.  One session = one compiled program; ``warmup()`` pays the
+    compile before the first request.
+    """
+
+    def __init__(self, cfg: URedConfig, model: URED, variables,
+                 src_db: Dict[str, jax.Array], batch_size: int = 16,
+                 k_candidates: int = 1, mesh=None):
+        from ured_tpu.engine.evaluate import make_eval_step
+
+        self.cfg = cfg
+        self.model = model
+        self.batch_size = int(batch_size)
+        self.variables = variables
+        self.src_db = src_db
+        self.num_points = int(cfg.num_target_points)
+        s_real = int(src_db["codes"].shape[0])
+        step = make_eval_step(cfg, model, k_candidates=k_candidates,
+                              mesh=mesh, num_real_sources=s_real)
+
+        def serve_step(variables, batch, src_db):
+            out = step(variables, batch, src_db)
+            return {k: out[k] for k in SERVE_KEYS}
+
+        self._serve_step = serve_step
+        self._step = jax.jit(serve_step)
+
+    @classmethod
+    def from_config(cls, cfg: URedConfig, data=None,
+                    batch_size: Optional[int] = None,
+                    k_candidates: int = 1, mesh=None) -> "InferenceSession":
+        """Build the session the way the evaluate CLI does: resolve the
+        corpus, restore the checkpoint groups, encode the source DB."""
+        from ured_tpu.engine.evaluate import build_source_db
+        from ured_tpu.engine.train import (init_state, make_optimizer,
+                                           resolve_corpus)
+
+        if data is None:
+            data = resolve_corpus(cfg)
+        model = URED(cfg)
+        bs = batch_size or cfg.batch_size
+        init_batch = {k: jnp.asarray(v) for k, v in data.make_batch(
+            np.arange(min(bs, len(data)))).items()}
+        tx, _ = make_optimizer(cfg, 1)
+        state = init_state(cfg, model, tx, init_batch, seed=cfg.seed)
+        if cfg.init_dm:
+            from ured_tpu.utils.checkpoint import restore_groups
+
+            state = restore_groups(cfg.dm_model_path, state, groups=("dm",))
+        if cfg.init_re:
+            from ured_tpu.utils.checkpoint import restore_groups
+
+            state = restore_groups(cfg.re_model_path, state, groups=("re",))
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        src_db = build_source_db(
+            cfg, model, variables, jnp.asarray(data.src_points),
+            jnp.asarray(data.src_sems), jnp.asarray(data.src_mats))
+        return cls(cfg, model, variables, src_db, batch_size=bs,
+                   k_candidates=k_candidates, mesh=mesh)
+
+    def _batch(self, points, labels, tgt_sem):
+        return {"x": jnp.asarray(points, jnp.float32),
+                "labels": jnp.asarray(labels, jnp.int32),
+                "tgt_sem": jnp.asarray(tgt_sem, jnp.int32)}
+
+    def warmup(self) -> None:
+        """Compile the serving program on a dummy batch."""
+        n = self.num_points
+        z = self._batch(np.zeros((self.batch_size, n, 3), np.float32),
+                        np.zeros((self.batch_size, n), np.int32),
+                        np.zeros((self.batch_size, n), np.int32))
+        jax.block_until_ready(
+            self._step(self.variables, z, self.src_db))
+
+    def predict(self, points: np.ndarray, labels: np.ndarray,
+                tgt_sem: np.ndarray) -> Dict[str, np.ndarray]:
+        """Serve a request of any count: [R, N, 3] (or a single [N, 3]).
+
+        Pads R up to a multiple of the session batch size with repeats of
+        the last row, runs the fixed-shape program per batch, unpads, and
+        returns host arrays keyed by ``SERVE_KEYS``.
+        """
+        points = np.asarray(points, np.float32)
+        single = points.ndim == 2
+        if single:
+            points, labels, tgt_sem = (points[None],
+                                       np.asarray(labels)[None],
+                                       np.asarray(tgt_sem)[None])
+        labels = np.asarray(labels)
+        tgt_sem = np.asarray(tgt_sem)
+        r = points.shape[0]
+        bs = self.batch_size
+        pad = (-r) % bs
+        if pad:
+            points = np.concatenate([points, points[-1:].repeat(pad, 0)])
+            labels = np.concatenate([labels, labels[-1:].repeat(pad, 0)])
+            tgt_sem = np.concatenate([tgt_sem, tgt_sem[-1:].repeat(pad, 0)])
+        outs = []
+        for i in range(0, points.shape[0], bs):
+            batch = self._batch(points[i:i + bs], labels[i:i + bs],
+                                tgt_sem[i:i + bs])
+            outs.append(jax.device_get(
+                self._step(self.variables, batch, self.src_db)))
+        merged = {k: np.concatenate([o[k] for o in outs])[:r]
+                  for k in SERVE_KEYS if np.ndim(outs[0][k]) > 0}
+        if single:
+            merged = {k: v[0] for k, v in merged.items()}
+        return merged
+
+    # ---- AOT artifact -----------------------------------------------------
+
+    def export_artifact(self) -> bytes:
+        """Serialize the serving program to a StableHLO artifact.
+
+        Weights and the encoded source DB are baked in as constants: the
+        artifact is self-contained (a serving host needs jax + these bytes,
+        not the model code).  Artifact size therefore scales with the DB —
+        export against a deduplicated DB for deployment.
+        """
+        from jax import export as jexport
+
+        variables, src_db = self.variables, self.src_db
+
+        def art_fn(batch):
+            return self._serve_step(variables, batch, src_db)
+
+        n = self.num_points
+        spec = {"x": jax.ShapeDtypeStruct((self.batch_size, n, 3),
+                                          jnp.float32),
+                "labels": jax.ShapeDtypeStruct((self.batch_size, n),
+                                               jnp.int32),
+                "tgt_sem": jax.ShapeDtypeStruct((self.batch_size, n),
+                                                jnp.int32)}
+        exported = jexport.export(jax.jit(art_fn))(spec)
+        return bytes(exported.serialize())
+
+
+def load_artifact(data: bytes):
+    """Reload a serialized serving artifact -> callable(batch) -> outputs."""
+    from jax import export as jexport
+
+    exported = jexport.deserialize(bytearray(data))
+    return exported.call
+
+
+def main(argv):
+    """CLI: ``python -m ured_tpu.engine.serve cfg.json [requests.npz]
+    [out.npz] [--artifact path]``.
+
+    ``requests.npz`` holds points [R, N, 3], labels [R, N], tgt_sem [R, N];
+    without it, the first corpus targets are served as a smoke request.
+    ``--artifact`` additionally writes the AOT StableHLO artifact.
+    """
+    args = [a for a in argv[1:] if not a.startswith("--")]
+    artifact_path = None
+    if "--artifact" in argv:
+        artifact_path = argv[argv.index("--artifact") + 1]
+        args = [a for a in args if a != artifact_path]
+
+    cfg = URedConfig.from_json(args[0]) if args else URedConfig(batch_size=8)
+    cfg.extras.setdefault("synthetic_targets", 32)
+    session = InferenceSession.from_config(
+        cfg, k_candidates=int(cfg.extras.get("k_candidates", 1)))
+
+    import os
+
+    if len(args) > 1 and args[1].endswith(".npz") \
+            and os.path.exists(args[1]):
+        req = np.load(args[1])
+        points, labels, tgt_sem = (req["points"], req["labels"],
+                                   req["tgt_sem"])
+    else:
+        from ured_tpu.engine.train import resolve_corpus
+
+        data = resolve_corpus(cfg)
+        batch = data.make_batch(np.arange(min(4, len(data))))
+        points, labels, tgt_sem = (batch["x"], batch["labels"],
+                                   batch["tgt_sem"])
+
+    out = session.predict(points, labels, tgt_sem)
+    print(f"served {np.asarray(points).shape[0]} requests: "
+          f"mean cd {float(np.mean(out['cd_full'])):.6f}")
+
+    out_path = args[2] if len(args) > 2 else "serve_out.npz"
+    np.savez(out_path, **out)
+    print(f"responses written to {out_path}")
+
+    if artifact_path:
+        blob = session.export_artifact()
+        with open(artifact_path, "wb") as f:
+            f.write(blob)
+        print(f"AOT artifact ({len(blob)} bytes) written to {artifact_path}")
+    return out
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(sys.argv)
