@@ -274,6 +274,34 @@ def test_partnet_dataset_from_h5(tmp_path, rng):
     assert batch["src_valid"].shape == (2, 4)
 
 
+def test_load_sources_dedup_index(tmp_path):
+    """The ``dedup_index`` extra subsets the source DB to the clustering
+    CLI's representatives — the reference's live consumption of
+    results.pickle (``generate_pair.py:58``)."""
+    from ured_tpu.config import URedConfig
+    from ured_tpu.data import synthetic
+    from ured_tpu.data.clustering import save_dedup_index
+
+    data = synthetic.generate(num_targets=3, num_sources=6, n_points=64,
+                              points_per_part=16, max_parts=8, seed=0)
+    synthetic.export_partnet_tree(data, str(tmp_path), num_train=2)
+
+    cfg = URedConfig(base_dir=str(tmp_path), category="chair", num_source=6,
+                     mode="train", MAX_NUM_PARTS=8, num_target_points=64,
+                     num_part_points=16)
+    full = load_sources(cfg)
+    assert len(full) == 6
+
+    idx = np.array([4, 0, 2])
+    save_dedup_index(str(tmp_path / "dedup_index.pickle"), idx)
+    cfg.extras["dedup_index"] = True
+    sub = load_sources(cfg)
+    assert len(sub) == 3
+    # sorted index order: rows 0, 2, 4 of the full DB
+    np.testing.assert_allclose(sub.points, full.points[[0, 2, 4]])
+    np.testing.assert_array_equal(sub.sem_ids, full.sem_ids[[0, 2, 4]])
+
+
 def test_export_partnet_tree_roundtrip(tmp_path):
     """A synthetic corpus exported as a PartNet-layout tree must load back
     through the flagship real-data path (from_partnet) with identical

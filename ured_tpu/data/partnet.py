@@ -91,9 +91,23 @@ def load_sources(cfg: URedConfig, mesh: bool = False,
     (reference ``load_sources.py:15-17``).
     """
     h5_dir = h5_dir or source_h5_dir(cfg)
+    dedup = None
     if source_names is None:
         sources, _, _ = io.load_datasplits(datasplits_path(cfg))
         source_names = [str(s) for s in sources]
+        # spectral-dedup filtering (the reference's live consumption of
+        # simple_cl's results.pickle: ``generate_pair.py:58`` subsets the
+        # source list to the cluster representatives).  The ``dedup_index``
+        # extra is a pickle path, or ``true`` for base_dir/dedup_index.pickle
+        # (the ``data.clustering`` CLI's output location).
+        dd = cfg.extras.get("dedup_index")
+        if dd:
+            from ured_tpu.data.clustering import load_dedup_index
+
+            dd_path = dd if isinstance(dd, str) else os.path.join(
+                cfg.base_dir, "dedup_index.pickle")
+            dedup = np.sort(load_dedup_index(dd_path).astype(np.int64))
+            source_names = [source_names[i] for i in dedup]
 
     pts, mats, defaults, sem_ids, sem_labels, model_ids = \
         [], [], [], [], [], []
@@ -123,6 +137,10 @@ def load_sources(cfg: URedConfig, mesh: bool = False,
     dist_src = None
     if cfg.src_connectivity and os.path.exists(cfg.src_connectivity):
         dist_src = np.load(cfg.src_connectivity)
+        if dedup is not None and dist_src.shape[0] > len(source_names):
+            # the precomputed [S, S] matrix covers the FULL source set;
+            # restrict it to the representatives
+            dist_src = dist_src[np.ix_(dedup, dedup)]
 
     return SourceDB(
         points=np.stack(pts),
