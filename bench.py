@@ -96,6 +96,34 @@ def bench_train_step(cfg, model, data, n_steps: int = 50):
     return dt
 
 
+def bench_serve(cfg, model, variables, data, iters: int = 10):
+    """End-to-end serving latency: predict() wall time per batch INCLUDING
+    the device->host response transfer (top-1 ids, params, deformed
+    geometry) — the number a deployment actually sees."""
+    import jax.numpy as jnp
+
+    from ured_tpu.engine.evaluate import build_source_db
+    from ured_tpu.engine.serve import InferenceSession
+
+    src_db = build_source_db(
+        cfg, model, variables,
+        jnp.asarray(data.src_points), jnp.asarray(data.src_sems),
+        jnp.asarray(data.src_mats))
+    sess = InferenceSession(cfg, model, variables, src_db,
+                            batch_size=cfg.batch_size)
+    bs = cfg.batch_size
+    pts = data.points[:bs]
+    labels = data.labels[:bs]
+    sems = data.semantics[:bs]
+    sess.predict(pts, labels, sems)        # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = sess.predict(pts, labels, sems)   # device_get inside
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(out["cd_full"]).all()
+    return dt * 1e3, bs / dt
+
+
 def bench_emd(n: int = 1024, b: int = 8, iters: int = 5,
               eps: float = 0.005, auction_iters: int = 50):
     import jax
@@ -197,6 +225,7 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), init_batch, train=False)
 
     eval_tps = bench_eval(cfg, model, variables, data)
+    serve_ms, serve_rps = bench_serve(cfg, model, variables, data)
 
     train_cfg = URedConfig()  # reference scale: bs 16, 2048 pts, 512 dims
     train_data = synthetic.generate(
@@ -222,6 +251,8 @@ def main():
             "train_samples_per_sec": round(train_cfg.batch_size / step_s, 1),
             "emd_1024pt_batch8_ms": round(emd_ms, 1),
             "emd_eval_quality_ms": round(emd_eval_ms, 1),
+            "serve_batch_latency_ms": round(serve_ms, 1),
+            "serve_requests_per_sec": round(serve_rps, 1),
         },
     }))
 
