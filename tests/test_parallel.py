@@ -158,6 +158,24 @@ def test_sharded_retrieval_matches_single(rng):
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
 
 
+def test_chunked_retrieval_matches_unchunked(rng):
+    """The single-device chunked top-k (per-block top-k + merge, the
+    in-device form of the sharded merge) is exact at every chunk size,
+    including chunk < k, non-dividing chunks, and masked padding rows."""
+    q = jnp.asarray(rng.normal(size=(16, 32)), jnp.float32)
+    db = jnp.asarray(rng.normal(size=(67, 32)), jnp.float32)
+    valid = jnp.asarray(rng.uniform(size=(67,)) > 0.2, jnp.float32)
+    for src_valid in (None, valid):
+        want_s, want_i = retrieve_topk(q, db, k=7, src_valid=src_valid)
+        for chunk in (3, 16, 64, 256):
+            got_s, got_i = retrieve_topk(q, db, k=7, src_valid=src_valid,
+                                         chunk=chunk)
+            np.testing.assert_allclose(np.asarray(got_s),
+                                       np.asarray(want_s), atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(got_i),
+                                          np.asarray(want_i))
+
+
 def test_contrastive_allgather_consistency():
     """The shard_map path's all_gather'd contrastive loss equals the global
     computation (world-size-1 fast-path equivalence, contrast_loss.py:42)."""

@@ -83,6 +83,23 @@ def test_artifact_roundtrip(session, requests_batch):
                                   np.asarray(live["top1"]))
 
 
+def test_session_on_mesh_matches_single_device(session, requests_batch):
+    """A (dp, db)-mesh session returns the single-device results exactly
+    (db-sharded retrieval + dp-sharded batch, the evaluate() placement)."""
+    from ured_tpu.parallel.mesh import make_mesh
+
+    pts, labels, sems = requests_batch
+    mesh_sess = InferenceSession(
+        session.cfg, session.model, session.variables,
+        {k: v for k, v in session.src_db.items()},
+        batch_size=session.batch_size, mesh=make_mesh(dp=2, db=4))
+    want = session.predict(pts, labels, sems)
+    got = mesh_sess.predict(pts, labels, sems)
+    np.testing.assert_array_equal(got["top1"], want["top1"])
+    np.testing.assert_allclose(got["cd_full"], want["cd_full"],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_serve_cli(tmp_path):
     from ured_tpu.engine import serve
 

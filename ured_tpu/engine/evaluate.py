@@ -92,7 +92,8 @@ def make_eval_step(cfg: URedConfig, model: URED, k_candidates: int = 1,
         else:
             scores, idx = retrieve_topk(
                 part_f.reshape(b * p, -1), src_db["codes"], k=k_ret,
-                src_valid=src_db.get("valid"))
+                src_valid=src_db.get("valid"),
+                chunk=int(cfg.extras.get("retrieval_chunk", 0)) or None)
         sim_topk = idx.reshape(b, p, k_ret)                 # [B, P, Kr]
         sim_topk_scores = scores.reshape(b, p, k_ret)
         topk = sim_topk[..., :k_candidates]                 # [B, P, K]

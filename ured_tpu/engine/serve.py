@@ -54,10 +54,26 @@ class InferenceSession:
         self.cfg = cfg
         self.model = model
         self.batch_size = int(batch_size)
-        self.variables = variables
-        self.src_db = src_db
         self.num_points = int(cfg.num_target_points)
         s_real = int(src_db["codes"].shape[0])
+        self._dp_sharding = None
+        if mesh is not None:
+            # same placement as evaluate(): DB sharded over db, weights
+            # replicated, request batches sharded over dp
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ured_tpu.engine.evaluate import place_source_db
+
+            if self.batch_size % mesh.shape["dp"]:
+                raise ValueError(
+                    f"batch_size {self.batch_size} not divisible by "
+                    f"mesh_dp={mesh.shape['dp']}")
+            src_db = place_source_db(src_db, mesh)
+            variables = jax.device_put(variables,
+                                       NamedSharding(mesh, P()))
+            self._dp_sharding = NamedSharding(mesh, P("dp"))
+        self.variables = variables
+        self.src_db = src_db
         step = make_eval_step(cfg, model, k_candidates=k_candidates,
                               mesh=mesh, num_real_sources=s_real)
 
@@ -103,9 +119,13 @@ class InferenceSession:
                    k_candidates=k_candidates, mesh=mesh)
 
     def _batch(self, points, labels, tgt_sem):
-        return {"x": jnp.asarray(points, jnp.float32),
-                "labels": jnp.asarray(labels, jnp.int32),
-                "tgt_sem": jnp.asarray(tgt_sem, jnp.int32)}
+        b = {"x": jnp.asarray(points, jnp.float32),
+             "labels": jnp.asarray(labels, jnp.int32),
+             "tgt_sem": jnp.asarray(tgt_sem, jnp.int32)}
+        if self._dp_sharding is not None:
+            b = {k: jax.device_put(v, self._dp_sharding)
+                 for k, v in b.items()}
+        return b
 
     def warmup(self) -> None:
         """Compile the serving program on a dummy batch."""

@@ -56,16 +56,43 @@ def encode_source_db(model, variables, src_points: Array, src_sems: Array,
 
 
 def retrieve_topk(tgt_part_f: Array, src_codes: Array, k: int,
-                  src_valid: Optional[Array] = None
-                  ) -> Tuple[Array, Array]:
+                  src_valid: Optional[Array] = None,
+                  chunk: Optional[int] = None) -> Tuple[Array, Array]:
     """Cosine-similarity retrieval (single device).
 
     tgt_part_f [Q, C], src_codes [S, C] -> (scores [Q, k], idx [Q, k]).
     ``src_valid`` [S]: 0 marks padding rows (a db-sharded DB regathered to
     one device keeps its padding) — they score -1e9 and never rank.
+
+    ``chunk``: optional source-axis tile.  ``lax.top_k`` over a [Q, S] row
+    is the hot term at large S (the matmul itself is ~1 ms at S=100k);
+    tiling runs top-k per [Q, chunk] block and merges the k-per-block
+    candidates — the single-device form of ``sharded_retrieve_topk``'s
+    per-shard-then-merge.  Exact for any chunk >= 1 (ties broken by block
+    order instead of global index order).
     """
     q = l2_normalize(tgt_part_f)
     s = l2_normalize(src_codes)
+    n_src = s.shape[0]
+    if chunk is not None and chunk < n_src:
+        n_blocks = -(-n_src // chunk)
+        s = pad_to_multiple(s, chunk)
+        valid = jnp.arange(n_blocks * chunk) < n_src
+        if src_valid is not None:
+            valid = valid & (pad_to_multiple(src_valid, chunk) > 0)
+        sims = jnp.einsum("qc,sc->qs", q, s,
+                          preferred_element_type=jnp.float32)
+        sims = jnp.where(valid[None, :], sims, -jnp.inf)
+        blocks = sims.reshape(q.shape[0], n_blocks, chunk)
+        kk = min(k, chunk)
+        b_scores, b_idx = jax.lax.top_k(blocks, kk)     # [Q, NB, kk]
+        offs = (jnp.arange(n_blocks) * chunk)[None, :, None]
+        cand_idx = (b_idx + offs).reshape(q.shape[0], n_blocks * kk)
+        cand_scores = b_scores.reshape(q.shape[0], n_blocks * kk)
+        scores, sel = jax.lax.top_k(cand_scores, k)
+        idx = jnp.take_along_axis(cand_idx, sel, axis=-1)
+        return jnp.where(jnp.isfinite(scores), scores, -1e9), \
+            idx.astype(jnp.int32)
     sims = jnp.einsum("qc,sc->qs", q, s, preferred_element_type=jnp.float32)
     if src_valid is not None:
         sims = jnp.where(src_valid[None, :] > 0, sims, -1e9)
