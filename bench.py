@@ -202,6 +202,17 @@ def main():
 
     _stop_conflicting_runs()
 
+    # persistent compile cache: the bench compiles several full-scale
+    # programs; on remote-compile backends each costs 60-200 s the first
+    # time, and reruns (or a prior reference-scale chain with the same
+    # shapes) hit the cache instead
+    import os
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/ured_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     from ured_tpu.config import URedConfig
     from ured_tpu.data import synthetic
     from ured_tpu.models.ured import URED

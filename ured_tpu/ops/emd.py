@@ -120,8 +120,16 @@ def emd_auction(x: Array, y: Array, eps: float = 0.005,
        auction behavior of an approximate solver; assignment [B, N] int32).
     """
     cost = pairwise_sqdist(x, y)
-    assign = jax.vmap(_auction_single, in_axes=(0, None, None))(
-        cost, eps, iters)
+    from ured_tpu.ops import emd_pallas
+
+    if emd_pallas.EMD_PALLAS and emd_pallas.auction_eligible(x.shape[-2]):
+        # VMEM-resident auction: the whole iteration loop runs inside one
+        # kernel instead of streaming the [N, N] matrix through HBM per
+        # iteration (see ops/emd_pallas.py; env-gated like URED_NN_PALLAS)
+        assign = emd_pallas.auction_assign_pallas(cost, eps, iters)
+    else:
+        assign = jax.vmap(_auction_single, in_axes=(0, None, None))(
+            cost, eps, iters)
     # fall back to nearest item for unassigned bidders
     nn = jnp.argmin(cost, axis=-1).astype(jnp.int32)
     assign = jnp.where(assign >= 0, assign, nn)
