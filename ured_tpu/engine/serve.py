@@ -173,13 +173,15 @@ class InferenceSession:
 
     # ---- AOT artifact -----------------------------------------------------
 
-    def export_artifact(self) -> bytes:
+    def export_artifact(self, platforms=("cpu", "tpu")) -> bytes:
         """Serialize the serving program to a StableHLO artifact.
 
         Weights and the encoded source DB are baked in as constants: the
         artifact is self-contained (a serving host needs jax + these bytes,
         not the model code).  Artifact size therefore scales with the DB —
-        export against a deduplicated DB for deployment.
+        export against a deduplicated DB for deployment.  ``platforms``
+        lowers for several backends at once, so an artifact exported on a
+        CPU dev box serves on TPU and vice versa.
         """
         from jax import export as jexport
 
@@ -195,7 +197,8 @@ class InferenceSession:
                                                jnp.int32),
                 "tgt_sem": jax.ShapeDtypeStruct((self.batch_size, n),
                                                 jnp.int32)}
-        exported = jexport.export(jax.jit(art_fn))(spec)
+        exported = jexport.export(jax.jit(art_fn),
+                                  platforms=tuple(platforms))(spec)
         return bytes(exported.serialize())
 
 
