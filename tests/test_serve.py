@@ -83,6 +83,25 @@ def test_artifact_roundtrip(session, requests_batch):
                                   np.asarray(live["top1"]))
 
 
+def test_predict_unlabeled_roca_bridge(session):
+    """Label-free serving (the ROCA scan mode): a synthetic depth
+    detection back-projects to an object-frame cloud and serves as one
+    whole-object part."""
+    from ured_tpu.data.roca import ROCADataset, ROCADetection
+
+    h = w = 24
+    depth = np.full((h, w), 2.0, np.float32)
+    mask = np.zeros((h, w), bool)
+    mask[6:18, 6:18] = True
+    intr = np.array([[20.0, 0, w / 2], [0, 20.0, h / 2], [0, 0, 1.0]])
+    det = ROCADetection(depth=depth, mask=mask, intrinsics=intr,
+                        q=np.array([1.0, 0, 0, 0]), t=np.zeros(3))
+    ds = ROCADataset([det], num_points=session.num_points)
+    out = session.predict_unlabeled(ds.get_target_points(0))
+    assert np.isfinite(out["cd_full"])
+    assert out["deformed"].ndim == 3  # [P, n, 3] single request
+
+
 def test_session_on_mesh_matches_single_device(session, requests_batch):
     """A (dp, db)-mesh session returns the single-device results exactly
     (db-sharded retrieval + dp-sharded batch, the evaluate() placement)."""

@@ -171,6 +171,24 @@ class InferenceSession:
             merged = {k: v[0] for k, v in merged.items()}
         return merged
 
+    def predict_unlabeled(self, points: np.ndarray,
+                          sem_label: Optional[str] = None
+                          ) -> Dict[str, np.ndarray]:
+        """Serve label-free clouds (e.g. ROCA scan detections,
+        ``data/roca.py``): the whole cloud is treated as one part (label 0)
+        with a single semantic id (``sem_label`` through the vocabulary,
+        default the config category) — whole-object retrieval+deformation,
+        the mode the reference's ROCA targets imply (its dataset yields
+        points only, ``ROCA_dataset.py:84-153``)."""
+        from ured_tpu.data.vocab import label_id
+
+        pts = np.asarray(points, np.float32)
+        shape = pts.shape[:-1] if pts.ndim == 2 else pts.shape[:2]
+        labels = np.zeros(shape, np.int32)
+        sem = np.full(shape, label_id(sem_label or self.cfg.category),
+                      np.int32)
+        return self.predict(pts, labels, sem)
+
     # ---- AOT artifact -----------------------------------------------------
 
     def export_artifact(self, platforms=("cpu", "tpu")) -> bytes:
