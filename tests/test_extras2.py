@@ -94,6 +94,14 @@ def test_best_of_k_eval():
     assert np.all(np.asarray(out["cd_best"])
                   <= np.asarray(out["cd_full"]) + 1e-6)
 
+    # the vmapped candidate sweep (candidates_vmap extra) is exact vs the
+    # sequential lax.map sweep
+    cfg.extras["candidates_vmap"] = True
+    out_v = jax.jit(make_eval_step(cfg, model, k_candidates=3))(
+        variables, batch, src_db)
+    np.testing.assert_allclose(np.asarray(out_v["cd_best"]),
+                               np.asarray(out["cd_best"]), rtol=1e-6)
+
 
 def test_gan_steps(rng):
     model = PCN(num_coarse=16, grid_size=2)

@@ -117,9 +117,17 @@ def make_eval_step(cfg: URedConfig, model: URED, k_candidates: int = 1,
 
         cd_full, (params, deformed) = deform_and_cd(top1)
         if k_candidates > 1:
-            cds = jax.lax.map(
-                lambda j: deform_and_cd(topk[..., j])[0],
-                jnp.arange(k_candidates))                    # [K, B]
+            if bool(cfg.extras.get("candidates_vmap", False)):
+                # one batched pass over all K candidate ranks (K-fold
+                # gather/deform memory for K-fold MXU parallelism) instead
+                # of lax.map's sequential sweep
+                cds = jax.vmap(
+                    lambda j: deform_and_cd(topk[..., j])[0])(
+                        jnp.arange(k_candidates))            # [K, B]
+            else:
+                cds = jax.lax.map(
+                    lambda j: deform_and_cd(topk[..., j])[0],
+                    jnp.arange(k_candidates))                # [K, B]
             cd_best = jnp.min(cds, axis=0)
         else:
             cd_best = cd_full
