@@ -378,3 +378,10 @@ if __name__ == "__main__":
     import sys
 
     main(sys.argv)
+
+
+def cli():
+    """Console-script entry point (pyproject [project.scripts])."""
+    import sys
+
+    main(sys.argv)

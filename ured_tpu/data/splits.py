@@ -124,3 +124,29 @@ def generate_splits_and_h5(category: str, num_sources: int,
         pack_targets_h5(splits[name], target_dir, h5_path, loader=loader)
         out[name] = h5_path
     return out
+
+
+def main(argv):
+    """``python -m ured_tpu.data.splits category num_sources source_dir
+    target_dir dump_dir [seed]`` — the role of reference
+    ``engine/generate_combined_h5.py`` (``__main__:204-237``)."""
+    if len(argv) < 6:
+        print(main.__doc__)
+        return
+    out = generate_splits_and_h5(
+        argv[1], int(argv[2]), argv[3], argv[4], argv[5],
+        seed=int(argv[6]) if len(argv) > 6 else 0)
+    for k, v in out.items():
+        print(f"{k}: {v}")
+
+
+def cli():
+    import sys
+
+    main(sys.argv)
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(sys.argv)

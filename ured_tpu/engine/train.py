@@ -509,3 +509,10 @@ def main(argv):
 
 if __name__ == "__main__":
     main(sys.argv)
+
+
+def cli():
+    """Console-script entry point (pyproject [project.scripts])."""
+    import sys
+
+    main(sys.argv)
