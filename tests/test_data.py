@@ -132,6 +132,33 @@ def test_dist_src_cache_invalidates_on_source_change(tmp_path):
     np.testing.assert_array_equal(arch_b["dist_src"], arch_b2["dist_src"])
 
 
+def test_pair_archive_cache_invalidates_on_corpus_change(tmp_path):
+    """The npz pair-archive cache carries a corpus fingerprint: the same
+    cache path with changed targets/sources recomputes; unchanged inputs
+    hit the cache (and no 'fingerprint' key leaks to consumers)."""
+    from ured_tpu.config import URedConfig
+    from ured_tpu.data.corpus import build_pair_archive
+
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(2, 32, 3)).astype(np.float32)
+    pts2 = rng.normal(size=(2, 32, 3)).astype(np.float32)
+    labels = np.zeros((2, 32), np.int64)
+    src = rng.normal(size=(3, 16, 3)).astype(np.float32)
+    cfg = URedConfig(base_dir=str(tmp_path), category="chair",
+                     num_source=3, MAX_NUM_PARTS=2)
+    cache = str(tmp_path / "arch.npz")
+    a1 = build_pair_archive(cfg, pts, labels, src, cache_path=cache,
+                            chunk_q=2, chunk_s=2)
+    assert "fingerprint" not in a1
+    a1b = build_pair_archive(cfg, pts, labels, src, cache_path=cache,
+                             chunk_q=2, chunk_s=2)
+    assert "fingerprint" not in a1b
+    np.testing.assert_array_equal(a1["cd_m"], a1b["cd_m"])
+    a2 = build_pair_archive(cfg, pts2, labels, src, cache_path=cache,
+                            chunk_q=2, chunk_s=2)
+    assert not np.allclose(a1["cd_m"], a2["cd_m"])
+
+
 def test_build_label_table_semantics():
     # 2 targets x 2 parts, 4 sources; distances crafted so that:
     # part (0,0): nearest source 1 is wrong-sem, source 0 right-sem -> 0

@@ -172,6 +172,20 @@ def _source_fingerprint(src_points: np.ndarray) -> str:
     return h.hexdigest()
 
 
+def _archive_fingerprint(points: np.ndarray, labels: np.ndarray,
+                         src_points: np.ndarray) -> str:
+    """Content hash of everything the pair archive depends on."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for a, dt in ((points, np.float32), (labels, np.int64),
+                  (src_points, np.float32)):
+        c = np.ascontiguousarray(a, dt)
+        h.update(np.asarray(c.shape, np.int64).tobytes())
+        h.update(c.tobytes())
+    return h.hexdigest()
+
+
 def build_pair_archive(cfg: URedConfig, points: np.ndarray,
                        labels: np.ndarray, src_points: np.ndarray,
                        cache_path: Optional[str] = None,
@@ -182,10 +196,19 @@ def build_pair_archive(cfg: URedConfig, points: np.ndarray,
     One tiled on-device DCD job (``data.pairs.pair_distance_matrix``)
     replacing the reference's 48-process joblib + CUDA-per-pair stage 3
     (``engine/generate_pair.py:55-135``).  Loaded from ``cache_path`` when
-    present; written there after computing.
+    present AND its content fingerprint matches the current targets +
+    sources (a regenerated corpus at the same path must recompute, not
+    silently reuse stale distances); written there after computing.
     """
+    arch_fp = _archive_fingerprint(points, labels, src_points)
     if cache_path and os.path.exists(cache_path):
-        return pairs.load_pair_archive(cache_path)
+        archive = pairs.load_pair_archive(cache_path)
+        cached_fp = archive.pop("fingerprint", None)
+        if cached_fp is None or str(np.asarray(cached_fp)) == arch_fp:
+            # legacy archives (no fingerprint) load as before
+            return archive
+        print(f"pair archive {cache_path} is stale (corpus changed); "
+              f"recomputing", flush=True)
 
     p = cfg.MAX_NUM_PARTS
     n = src_points.shape[1]
@@ -240,7 +263,8 @@ def build_pair_archive(cfg: URedConfig, points: np.ndarray,
     archive["dist_src"] = dist_src
     if cache_path:
         os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
-        pairs.save_pair_archive(cache_path, archive)
+        pairs.save_pair_archive(
+            cache_path, dict(archive, fingerprint=np.asarray(arch_fp)))
         if resume_dir:
             shutil.rmtree(resume_dir, ignore_errors=True)
     return archive
