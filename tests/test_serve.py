@@ -117,6 +117,8 @@ def test_session_on_mesh_matches_single_device(session, requests_batch):
     np.testing.assert_array_equal(got["top1"], want["top1"])
     np.testing.assert_allclose(got["cd_full"], want["cd_full"],
                                rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="single-device"):
+        mesh_sess.export_artifact()
 
 
 def test_serve_cli(tmp_path):

@@ -203,6 +203,11 @@ class InferenceSession:
         """
         from jax import export as jexport
 
+        if self._dp_sharding is not None:
+            raise ValueError(
+                "export_artifact requires a single-device session: build "
+                "the InferenceSession without a mesh for export, and shard "
+                "at load time on the serving host instead")
         variables, src_db = self.variables, self.src_db
 
         def art_fn(batch):
