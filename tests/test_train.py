@@ -166,6 +166,36 @@ def test_train_resume_from_mid_epoch_checkpoint(tmp_path):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_grad_accumulation():
+    """grad_accum_steps=2: params frozen after the first micro-step,
+    updated after the second (optax.MultiSteps semantics), and the run
+    stays finite."""
+    cfg = _tiny_cfg()
+    cfg.extras.update(synthetic_targets=8, synthetic_sources=6,
+                      grad_accum_steps=2)
+    from ured_tpu.data import synthetic
+    from ured_tpu.engine.train import make_train_step
+
+    data = synthetic.generate(num_targets=8, num_sources=6, n_points=64,
+                              points_per_part=16, max_parts=8, seed=0)
+    import jax
+
+    batch = {k: jnp.asarray(v) for k, v in synthetic.make_batch(
+        data, np.arange(4), 8).items()}
+    model = URED(cfg)
+    tx, _ = make_optimizer(cfg, 1)
+    state = init_state(cfg, model, tx, batch, seed=0)
+    step = jax.jit(make_train_step(cfg, model, tx))
+    p0 = np.asarray(state.params["target_encoder_full"]["fc"]["kernel"])
+    state, m1 = step(state, batch, jnp.asarray(0))
+    p1 = np.asarray(state.params["target_encoder_full"]["fc"]["kernel"])
+    np.testing.assert_array_equal(p0, p1)   # accumulating, no update yet
+    state, m2 = step(state, batch, jnp.asarray(0))
+    p2 = np.asarray(state.params["target_encoder_full"]["fc"]["kernel"])
+    assert not np.array_equal(p1, p2)       # k-th micro-step applies
+    assert np.isfinite(float(m2["all_loss"]))
+
+
 def test_train_on_partial_targets():
     cfg = _tiny_cfg()
     cfg.extras["synthetic_targets"] = 8

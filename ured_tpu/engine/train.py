@@ -102,6 +102,13 @@ def make_optimizer(cfg: URedConfig, steps_per_epoch: int):
     # poisoning the parameters (the reference only had a commented-out NaN
     # guard, partnet_dataset.py:63-72 / SURVEY.md §5)
     tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    # gradient accumulation (beyond the reference): `grad_accum_steps: k`
+    # averages k micro-batch gradients per optimizer update — k-fold
+    # effective batch without k-fold activation memory.  The LR schedule
+    # and weight decay tick per optimizer UPDATE, not per micro-step.
+    accum = int(cfg.extras.get("grad_accum_steps", 1))
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx, schedule
 
 
