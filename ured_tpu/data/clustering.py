@@ -121,6 +121,11 @@ def main(argv):
     if not corpus.real_data_available(cfg):
         print("no PartNet-layout tree at the configured paths; nothing to do")
         return
+    # ALWAYS cluster the full source list: with extras.dedup_index enabled
+    # (consuming this CLI's own output), loading deduped sources here would
+    # write subset-relative indices that the next load misapplies to the
+    # full datasplit list
+    cfg.extras.pop("dedup_index", None)
     source_db = load_sources(cfg)
     dist_src = source_db.dist_src
     if dist_src is None:

@@ -581,24 +581,18 @@ def evaluate(cfg: URedConfig, model: URED, variables, data,
     return metrics
 
 
-def main(argv):
-    """``python -m ured_tpu.engine.evaluate [config.json]`` — the role of
-    reference ``engine/test.py``: load checkpoint (if configured), encode the
-    source DB, print the metric trio.  Evaluates the PartNet-layout tree the
-    config points at when present (same resolution as the train CLI),
-    falling back to the synthetic corpus."""
-    import jax
+def restore_eval_variables(cfg: URedConfig, data,
+                           batch_size: Optional[int] = None):
+    """Init the model and restore the configured checkpoint groups — the
+    shared recipe of the evaluate/vis/serve CLIs (reference load pattern
+    ``test.py:68-97`` / ``vis.py:64-95``).  Returns (model, variables)."""
+    from ured_tpu.engine.train import init_state, make_optimizer
 
-    from ured_tpu.engine.train import init_state, make_optimizer, \
-        resolve_corpus
-
-    cfg = URedConfig.from_json(argv[1]) if len(argv) > 1 else URedConfig(
-        batch_size=8)
-    cfg.extras.setdefault("synthetic_targets", 32)
-    data = resolve_corpus(cfg)
     model = URED(cfg)
+    bs = batch_size or cfg.batch_size
+    n = len(getattr(data, "points", data))
     init_batch = {k: jnp.asarray(v) for k, v in data.make_batch(
-        np.arange(min(cfg.batch_size, len(data)))).items()}
+        np.arange(min(bs, n))).items()}
     tx, _ = make_optimizer(cfg, 1)
     state = init_state(cfg, model, tx, init_batch, seed=cfg.seed)
     if cfg.init_dm:
@@ -609,7 +603,23 @@ def main(argv):
         from ured_tpu.utils.checkpoint import restore_groups
 
         state = restore_groups(cfg.re_model_path, state, groups=("re",))
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return model, {"params": state.params,
+                   "batch_stats": state.batch_stats}
+
+
+def main(argv):
+    """``python -m ured_tpu.engine.evaluate [config.json]`` — the role of
+    reference ``engine/test.py``: load checkpoint (if configured), encode the
+    source DB, print the metric trio.  Evaluates the PartNet-layout tree the
+    config points at when present (same resolution as the train CLI),
+    falling back to the synthetic corpus."""
+    from ured_tpu.engine.train import resolve_corpus
+
+    cfg = URedConfig.from_json(argv[1]) if len(argv) > 1 else URedConfig(
+        batch_size=8)
+    cfg.extras.setdefault("synthetic_targets", 32)
+    data = resolve_corpus(cfg)
+    model, variables = restore_eval_variables(cfg, data)
     if data.extras.get("origin") == "synthetic":
         # the synthetic corpus's pair distances are half-extent proxies on a
         # ~0.1 scale; the reference sigma=0.001 is calibrated for DCD rows

@@ -90,28 +90,14 @@ class InferenceSession:
                     k_candidates: int = 1, mesh=None) -> "InferenceSession":
         """Build the session the way the evaluate CLI does: resolve the
         corpus, restore the checkpoint groups, encode the source DB."""
-        from ured_tpu.engine.evaluate import build_source_db
-        from ured_tpu.engine.train import (init_state, make_optimizer,
-                                           resolve_corpus)
+        from ured_tpu.engine.evaluate import (build_source_db,
+                                              restore_eval_variables)
+        from ured_tpu.engine.train import resolve_corpus
 
         if data is None:
             data = resolve_corpus(cfg)
-        model = URED(cfg)
         bs = batch_size or cfg.batch_size
-        init_batch = {k: jnp.asarray(v) for k, v in data.make_batch(
-            np.arange(min(bs, len(data)))).items()}
-        tx, _ = make_optimizer(cfg, 1)
-        state = init_state(cfg, model, tx, init_batch, seed=cfg.seed)
-        if cfg.init_dm:
-            from ured_tpu.utils.checkpoint import restore_groups
-
-            state = restore_groups(cfg.dm_model_path, state, groups=("dm",))
-        if cfg.init_re:
-            from ured_tpu.utils.checkpoint import restore_groups
-
-            state = restore_groups(cfg.re_model_path, state, groups=("re",))
-        variables = {"params": state.params,
-                     "batch_stats": state.batch_stats}
+        model, variables = restore_eval_variables(cfg, data, batch_size=bs)
         src_db = build_source_db(
             cfg, model, variables, jnp.asarray(data.src_points),
             jnp.asarray(data.src_sems), jnp.asarray(data.src_mats))
@@ -153,6 +139,8 @@ class InferenceSession:
         labels = np.asarray(labels)
         tgt_sem = np.asarray(tgt_sem)
         r = points.shape[0]
+        if r == 0:
+            raise ValueError("empty request: predict() needs >= 1 cloud")
         bs = self.batch_size
         pad = (-r) % bs
         if pad:
@@ -241,22 +229,25 @@ def main(argv):
     without it, the first corpus targets are served as a smoke request.
     ``--artifact`` additionally writes the AOT StableHLO artifact.
     """
-    args = [a for a in argv[1:] if not a.startswith("--")]
-    artifact_path = None
-    if "--artifact" in argv:
-        artifact_path = argv[argv.index("--artifact") + 1]
-        args = [a for a in args if a != artifact_path]
+    import argparse
 
-    cfg = URedConfig.from_json(args[0]) if args else URedConfig(batch_size=8)
+    ap = argparse.ArgumentParser(prog="ured-serve")
+    ap.add_argument("config", nargs="?", help="config JSON")
+    ap.add_argument("requests", nargs="?",
+                    help="requests .npz (points/labels/tgt_sem)")
+    ap.add_argument("out", nargs="?", default="serve_out.npz")
+    ap.add_argument("--artifact", help="also write the AOT artifact here")
+    ns = ap.parse_args(argv[1:])
+    artifact_path = ns.artifact
+
+    cfg = URedConfig.from_json(ns.config) if ns.config \
+        else URedConfig(batch_size=8)
     cfg.extras.setdefault("synthetic_targets", 32)
     session = InferenceSession.from_config(
         cfg, k_candidates=int(cfg.extras.get("k_candidates", 1)))
 
-    import os
-
-    if len(args) > 1 and args[1].endswith(".npz") \
-            and os.path.exists(args[1]):
-        req = np.load(args[1])
+    if ns.requests:
+        req = np.load(ns.requests)
         points, labels, tgt_sem = (req["points"], req["labels"],
                                    req["tgt_sem"])
     else:
@@ -271,7 +262,7 @@ def main(argv):
     print(f"served {np.asarray(points).shape[0]} requests: "
           f"mean cd {float(np.mean(out['cd_full'])):.6f}")
 
-    out_path = args[2] if len(args) > 2 else "serve_out.npz"
+    out_path = ns.out
     np.savez(out_path, **out)
     print(f"responses written to {out_path}")
 

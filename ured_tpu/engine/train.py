@@ -82,9 +82,13 @@ def clip_per_module(max_norm: float, frozen=("embedding_layer",)):
 def make_optimizer(cfg: URedConfig, steps_per_epoch: int):
     """Adam(1e-3, wd 5e-4 as coupled L2) + StepLR(lr_stepsize, lr_decay)
     (reference ``train_utils/optimizer_dm.py:68-104``)."""
+    # under gradient accumulation the inner schedule ticks once per
+    # optimizer UPDATE (= accum micro-steps), so transition_steps must be
+    # sized in updates to keep the StepLR decay at cfg.lr_stepsize EPOCHS
+    accum = max(1, int(cfg.extras.get("grad_accum_steps", 1)))
     schedule = optax.exponential_decay(
         init_value=cfg.learning_rate,
-        transition_steps=max(1, cfg.lr_stepsize * steps_per_epoch),
+        transition_steps=max(1, cfg.lr_stepsize * steps_per_epoch // accum),
         decay_rate=cfg.lr_decay,
         staircase=True)
 
@@ -106,10 +110,30 @@ def make_optimizer(cfg: URedConfig, steps_per_epoch: int):
     # averages k micro-batch gradients per optimizer update — k-fold
     # effective batch without k-fold activation memory.  The LR schedule
     # and weight decay tick per optimizer UPDATE, not per micro-step.
-    accum = int(cfg.extras.get("grad_accum_steps", 1))
+    # A per-micro-step non-finite filter runs BEFORE the accumulator: one
+    # NaN micro-batch contributes zeros instead of poisoning the whole
+    # k-step window (apply_if_finite above still guards the final update).
     if accum > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        tx = optax.chain(_zero_nonfinite_updates(),
+                         optax.MultiSteps(tx, every_k_schedule=accum))
     return tx, schedule
+
+
+def _zero_nonfinite_updates():
+    """Zero the ENTIRE incoming update when any element is non-finite."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        ok = jnp.all(jnp.asarray(
+            [jnp.all(jnp.isfinite(u)) for u in jax.tree.leaves(updates)]))
+        return jax.tree.map(
+            lambda u: jnp.where(ok, u, jnp.zeros_like(u)), updates), state
+
+    return optax.GradientTransformation(init, update)
 
 
 def compute_losses(cfg: URedConfig, batch: Dict[str, Array],

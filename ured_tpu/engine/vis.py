@@ -173,32 +173,17 @@ def main(argv):
     target, export per-target OBJ/PLY assemblies, print the metric pair.
     PartNet-layout data (with source meshes) when the config points at it;
     synthetic corpus fallback (points-only export)."""
-    from ured_tpu.engine.train import init_state, make_optimizer
-
     cfg = URedConfig.from_json(argv[1]) if len(argv) > 1 else URedConfig(
         batch_size=8)
     out_dir = argv[2] if len(argv) > 2 else cfg.log_path + "/vis"
     cfg.extras.setdefault("synthetic_targets", 16)
 
+    from ured_tpu.engine.evaluate import restore_eval_variables
     from ured_tpu.engine.train import resolve_corpus
 
     data = resolve_corpus(cfg, mesh=True)  # meshes for OBJ export
     source_db = data.source_db if data.source_db is not None else data
-
-    model = URED(cfg)
-    init_batch = {k: jnp.asarray(v) for k, v in data.make_batch(
-        np.arange(min(cfg.batch_size, len(data.points)))).items()}
-    tx, _ = make_optimizer(cfg, 1)
-    state = init_state(cfg, model, tx, init_batch, seed=cfg.seed)
-    if cfg.init_dm:
-        from ured_tpu.utils.checkpoint import restore_groups
-
-        state = restore_groups(cfg.dm_model_path, state, groups=("dm",))
-    if cfg.init_re:
-        from ured_tpu.utils.checkpoint import restore_groups
-
-        state = restore_groups(cfg.re_model_path, state, groups=("re",))
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    model, variables = restore_eval_variables(cfg, data)
     if data.extras.get("origin") == "synthetic":
         # synthetic pair distances live on a ~0.1 scale, not DCD's 0.001
         cfg.extras.setdefault("ndcg_sigma", 0.1)

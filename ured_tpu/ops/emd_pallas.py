@@ -98,8 +98,11 @@ def _auction_kernel(eps: float, iters: int, cost_ref, assign_ref):
             jnp.zeros((1, n), jnp.float32),
             jnp.full((1, n), -1, jnp.int32),
             jnp.full((n, 1), -1, jnp.int32))
-    _, _, _, assign = jax.lax.while_loop(cond, body, init)
-    assign_ref[0] = assign.reshape(1, n)
+    _, _, owner, _ = jax.lax.while_loop(cond, body, init)
+    # store the per-ITEM owner row — already [1, N]; writing the per-bidder
+    # assign column here would need the [N,1]->[1,N] sublane<->lane
+    # relayout this module's layout notes forbid.  The caller inverts it.
+    assign_ref[0] = owner
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "iters", "interpret"))
@@ -125,7 +128,16 @@ def auction_assign_pallas(cost: Array, eps: float, iters: int,
         out_shape=jax.ShapeDtypeStruct((b, 1, n), jnp.int32),
         interpret=interpret,
     )(cost.astype(jnp.float32))
-    return out[:, 0]
+    owner = out[:, 0]                                  # [B, N] item -> bidder
+    # invert to bidder -> item (XLA scatter, outside the kernel); bidders
+    # owning nothing (unconverged) stay -1
+    items = jnp.arange(n, dtype=jnp.int32)
+
+    def invert(own):
+        return jnp.full((n,), -1, jnp.int32).at[
+            jnp.where(own >= 0, own, n)].set(items, mode="drop")
+
+    return jax.vmap(invert)(owner)
 
 
 def auction_eligible(n: int) -> bool:
