@@ -166,6 +166,25 @@ def test_train_resume_from_mid_epoch_checkpoint(tmp_path):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_zero_nonfinite_updates_filter():
+    """The per-micro-step filter zeroes a poisoned gradient entirely and
+    passes finite ones through untouched."""
+    from ured_tpu.engine.train import _zero_nonfinite_updates
+
+    tx = _zero_nonfinite_updates()
+    state = tx.init(None)
+    good = {"a": jnp.ones(3), "b": jnp.full((2,), 2.0)}
+    out, state = tx.update(good, state)
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.ones(3))
+    bad = {"a": jnp.array([1.0, np.nan, 2.0]), "b": jnp.full((2,), 2.0)}
+    out, state = tx.update(bad, state)
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.zeros(3))
+    np.testing.assert_array_equal(np.asarray(out["b"]), np.zeros(2))
+    inf_bad = {"a": jnp.array([1.0, np.inf, 2.0]), "b": jnp.zeros(2)}
+    out, state = tx.update(inf_bad, state)
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.zeros(3))
+
+
 def test_grad_accumulation():
     """grad_accum_steps=2: params frozen after the first micro-step,
     updated after the second (optax.MultiSteps semantics), and the run
