@@ -42,13 +42,18 @@ def main(argv):
     out_json = args[0] if args else (
         "reference_scale_smoke.json" if smoke else "reference_scale.json")
     epochs = 3 if smoke else 300
-    if "--epochs" in argv:
-        epochs = int(argv[argv.index("--epochs") + 1])
 
-    num_targets = 125 if smoke else 2500      # 80/20 -> 100/2000 train
-    num_sources = 640 if smoke else 6340
-    base = os.path.abspath(
-        "ref_scale_smoke_tree" if smoke else "ref_scale_tree")
+    def flag(name, default, cast=int):
+        return cast(argv[argv.index(name) + 1]) if name in argv else default
+
+    epochs = flag("--epochs", epochs)
+    # size overrides (micro chains for CPU de-risking of chain-level code)
+    num_targets = flag("--targets", 125 if smoke else 2500)  # 80/20 split
+    num_sources = flag("--sources", 640 if smoke else 6340)
+    n_points = flag("--points", 2048)
+    ppp = flag("--ppp", 1024)
+    base = flag("--base", os.path.abspath(
+        "ref_scale_smoke_tree" if smoke else "ref_scale_tree"), str)
     log = os.path.join(base, "log")
 
     from ured_tpu.data import synthetic
@@ -80,7 +85,7 @@ def main(argv):
     with stage("generate"):
         data = synthetic.generate(
             num_targets=num_targets, num_sources=num_sources,
-            n_points=2048, points_per_part=1024, max_parts=16, seed=0)
+            n_points=n_points, points_per_part=ppp, max_parts=16, seed=0)
 
     with stage("export_tree"):
         synthetic.export_partnet_tree(
@@ -92,6 +97,8 @@ def main(argv):
             "base_dir": base, "category": "chair",
             "num_source": num_sources, "mode": mode,
             "epochs": epochs, "log_path": log,
+            "num_target_points": n_points, "num_part_points": ppp,
+            "batch_size": flag("--bs", 16),
             "random_rot": True,
             # restartability under benchmarks/supervise.py: pick the train
             # loop up from the newest full-TrainState checkpoint

@@ -99,6 +99,22 @@ def test_eval_step_and_full_evaluate():
         assert np.isfinite(metrics[key])
 
 
+def test_evaluate_split_smaller_than_batch():
+    """A split smaller than batch_size shrinks the eval batch instead of
+    yielding ZERO drop-remainder batches (found by the CPU micro chain:
+    a 2-target test split with bs=4 crashed on an empty concatenate)."""
+    cfg = _tiny_cfg()
+    cfg.batch_size = 4
+    data = synthetic.generate(num_targets=2, num_sources=6, n_points=64,
+                              points_per_part=16, max_parts=8, seed=0)
+    model = URED(cfg)
+    init_batch = {k: jnp.asarray(v) for k, v in synthetic.make_batch(
+        data, np.arange(2), 8).items()}
+    variables = model.init(jax.random.PRNGKey(0), init_batch, train=False)
+    metrics = evaluate(cfg, model, variables, data)
+    assert np.isfinite(metrics["best_full_cd_loss"])
+
+
 def test_corpus_eval_matches_per_batch():
     from ured_tpu.engine.evaluate import make_corpus_eval, stack_batches
 

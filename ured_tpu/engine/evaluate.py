@@ -496,10 +496,15 @@ def evaluate(cfg: URedConfig, model: URED, variables, data,
         mesh = resolve_mesh(cfg)
 
     bs = batch_size or cfg.batch_size
+    n_total = data.points.shape[0]
+    if n_total < bs:
+        # small corpora (e.g. a tiny test split): shrink the batch instead
+        # of producing ZERO drop-remainder batches
+        bs = max(1, n_total)
     if mesh is not None and bs % mesh.shape["dp"]:
         raise ValueError(f"batch_size {bs} not divisible by "
                          f"mesh_dp={mesh.shape['dp']}")
-    num = (data.points.shape[0] // bs) * bs
+    num = (n_total // bs) * bs
 
     src_db = build_source_db(
         cfg, model, variables,

@@ -48,7 +48,10 @@ def run_vis(cfg: URedConfig, model: URED, variables, data, source_db,
                          f"mesh_dp={mesh.shape['dp']}")
     n = data.points.shape[0] if max_targets is None \
         else min(max_targets, data.points.shape[0])
-    n = (n // bs) * bs or bs
+    if n < bs:
+        # small corpora: shrink the batch rather than index past the end
+        bs = max(1, n)
+    n = (n // bs) * bs
 
     # SourceDB uses points/mats/sem_ids; SyntheticData uses src_* names
     # (its plain points/labels are the *targets*)
