@@ -158,6 +158,37 @@ def test_sharded_retrieval_matches_single(rng):
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
 
 
+def test_sharded_step_with_grad_accumulation():
+    """grad_accum_steps composes with the sharded step: the MultiSteps
+    accumulator state replicates over the mesh, params hold through the
+    first micro-step and update on the k-th, exactly as on one device."""
+    import dataclasses
+
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, extras={"sync_bn": True, "grad_accum_steps": 2})
+    data, batch = _data_and_batch(cfg)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=1)
+    model = URED(cfg)
+    state = init_state(cfg, model, tx, batch)
+
+    mesh = make_mesh(dp=8, db=1)
+    step, place = make_sharded_train_step(cfg, model, tx, mesh,
+                                          explicit=True)
+    st, bt, ep = place(state, batch, 0)
+    p0 = np.asarray(jax.device_get(
+        st.params["target_encoder_full"]["fc"]["kernel"]))
+    st1, m1 = step(st, bt, ep)
+    p1 = np.asarray(jax.device_get(
+        st1.params["target_encoder_full"]["fc"]["kernel"]))
+    np.testing.assert_array_equal(p0, p1)   # accumulating
+    st2, m2 = step(st1, bt, ep)
+    p2 = np.asarray(jax.device_get(
+        st2.params["target_encoder_full"]["fc"]["kernel"]))
+    assert not np.array_equal(p1, p2)       # k-th micro-step applies
+    assert np.isfinite(float(m2["all_loss"]))
+
+
 def test_chunked_retrieval_matches_unchunked(rng):
     """The single-device chunked top-k (per-block top-k + merge, the
     in-device form of the sharded merge) is exact at every chunk size,
