@@ -66,6 +66,18 @@ def test_pallas_auction_early_exit_budget_equivalence():
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
 
 
+def test_fori_fallback_matches_while_loop():
+    """early_exit=False (fori_loop insurance path) produces the identical
+    assignment — the body is a fixed point once converged."""
+    n = 128
+    x, y = _clouds(n, seed=9)
+    cost = pairwise_sqdist(x, y)
+    a_w = auction_assign_pallas(cost, eps=0.005, iters=3000, interpret=True)
+    a_f = auction_assign_pallas(cost, eps=0.005, iters=3000, interpret=True,
+                                early_exit=False)
+    np.testing.assert_array_equal(np.asarray(a_w), np.asarray(a_f))
+
+
 def test_eligibility_gate():
     assert not auction_eligible(100)     # not lane-aligned
     assert not auction_eligible(2048)    # VMEM budget

@@ -46,7 +46,8 @@ EMD_PALLAS = os.environ.get("URED_EMD_PALLAS", "0") == "1"
 _MAX_N = 1024
 
 
-def _auction_kernel(eps: float, iters: int, cost_ref, assign_ref):
+def _auction_kernel(eps: float, iters: int, early_exit: bool,
+                    cost_ref, assign_ref):
     n = cost_ref.shape[1]
     value0 = -cost_ref[0]                                   # [N, N]
     iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
@@ -98,16 +99,25 @@ def _auction_kernel(eps: float, iters: int, cost_ref, assign_ref):
             jnp.zeros((1, n), jnp.float32),
             jnp.full((1, n), -1, jnp.int32),
             jnp.full((n, 1), -1, jnp.int32))
-    _, _, owner, _ = jax.lax.while_loop(cond, body, init)
+    if early_exit:
+        _, _, owner, _ = jax.lax.while_loop(cond, body, init)
+    else:
+        # fori fallback (no all-assigned early exit): the body is a fixed
+        # point once converged, so results are identical — insurance for
+        # backends where while_loop fails to lower inside a kernel
+        _, _, owner, _ = jax.lax.fori_loop(
+            0, iters, lambda _, c: body(c), init)
     # store the per-ITEM owner row — already [1, N]; writing the per-bidder
     # assign column here would need the [N,1]->[1,N] sublane<->lane
     # relayout this module's layout notes forbid.  The caller inverts it.
     assign_ref[0] = owner
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "iters", "interpret"))
+@functools.partial(jax.jit, static_argnames=("eps", "iters", "interpret",
+                                             "early_exit"))
 def auction_assign_pallas(cost: Array, eps: float, iters: int,
-                          interpret: bool = False) -> Array:
+                          interpret: bool = False,
+                          early_exit: bool = True) -> Array:
     """cost [B, N, N] -> assignment [B, N] int32 (-1 where unconverged).
 
     One grid step per batch element; each runs its full early-exiting
@@ -119,7 +129,8 @@ def auction_assign_pallas(cost: Array, eps: float, iters: int,
         raise ValueError(f"N={n} exceeds the VMEM budget ({_MAX_N})")
 
     out = pl.pallas_call(
-        functools.partial(_auction_kernel, float(eps), int(iters)),
+        functools.partial(_auction_kernel, float(eps), int(iters),
+                          bool(early_exit)),
         grid=(b,),
         in_specs=[pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
