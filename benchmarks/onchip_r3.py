@@ -137,10 +137,68 @@ def run_bf16():
                       "ms": round(step_s * 1e3, 1)}))
 
 
+def run_evalbf16():
+    """Eval-pipeline bf16 A/B: throughput + metric agreement vs float32.
+
+    Params are stored float32 either way (flax ``dtype`` is compute-only),
+    so both models apply the SAME weights; the A/B isolates the precision
+    of the retrieval matmul / decoder / chamfer math."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from ured_tpu.config import URedConfig
+    from ured_tpu.data import synthetic
+    from ured_tpu.engine.evaluate import build_source_db, make_eval_step
+    from ured_tpu.models.ured import URED
+
+    res = {}
+    cd = {}
+    top1 = {}
+    for name in ("float32", "bfloat16"):
+        cfg = URedConfig(batch_size=32, compute_dtype=name)
+        data = synthetic.generate(
+            num_targets=64, num_sources=512, n_points=cfg.num_target_points,
+            points_per_part=cfg.num_part_points, max_parts=cfg.MAX_NUM_PARTS,
+            seed=0)
+        model = URED(cfg)
+        tiny = synthetic.generate(num_targets=1, num_sources=8, n_points=256,
+                                  points_per_part=64,
+                                  max_parts=cfg.MAX_NUM_PARTS, seed=1)
+        init_batch = {k: jnp.asarray(v) for k, v in synthetic.make_batch(
+            tiny, np.arange(1), cfg.MAX_NUM_PARTS).items()}
+        variables = model.init(jax.random.PRNGKey(0), init_batch,
+                               train=False)
+        res[name] = round(bench.bench_eval(cfg, model, variables, data), 1)
+        db = build_source_db(
+            cfg, model, variables, jnp.asarray(data.src_points),
+            jnp.asarray(data.src_sems), jnp.asarray(data.src_mats))
+        step = jax.jit(make_eval_step(cfg, model))
+        out = step(variables, {
+            "x": jnp.asarray(data.points[:32]),
+            "labels": jnp.asarray(data.labels[:32]),
+            "tgt_sem": jnp.asarray(data.semantics[:32]),
+        }, db)
+        cd[name] = np.asarray(out["cd_full"], np.float64)
+        top1[name] = np.asarray(out["top1"])
+        mask = np.asarray(out["part_mask"]) > 0
+    agree = float((top1["float32"] == top1["bfloat16"])[mask].mean())
+    rel = np.abs(cd["bfloat16"] - cd["float32"]) / np.maximum(
+        cd["float32"], 1e-9)
+    print(json.dumps({
+        "experiment": "eval_bf16",
+        "f32_targets_per_sec": res["float32"],
+        "bf16_targets_per_sec": res["bfloat16"],
+        "speedup": round(res["bfloat16"] / res["float32"], 3),
+        "top1_agreement": round(agree, 4),
+        "cd_rel_diff_max": round(float(rel.max()), 5),
+        "cd_rel_diff_mean": round(float(rel.mean()), 5)}))
+
+
 def main(argv):
     _cache()
     which = set(a for a in argv[1:] if not a.startswith("-")) or {
-        "emd", "retrieval", "serve", "bf16"}
+        "emd", "retrieval", "serve", "bf16", "evalbf16"}
     if "emd" in which:
         run_emd()
     if "retrieval" in which:
@@ -149,6 +207,8 @@ def main(argv):
         run_serve()
     if "bf16" in which:
         run_bf16()
+    if "evalbf16" in which:
+        run_evalbf16()
 
 
 if __name__ == "__main__":
