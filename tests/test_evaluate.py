@@ -241,3 +241,40 @@ def test_ndcg_batch_matches_per_row():
     got = ndcg_batch(rel, topk, k=10)
     want = [ndcg_from_topk(rel[i], topk[i], k=10) for i in range(6)]
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_eval_step_bf16_matches_f32():
+    """compute_dtype='bfloat16' eval (params stay f32; matmul/chamfer math
+    in bf16) must keep the metric contract: finite outputs, top-1 retrieval
+    in near-total agreement, cd within bf16 tolerance of the f32 step."""
+    data = synthetic.generate(num_targets=4, num_sources=6, n_points=64,
+                              points_per_part=16, max_parts=8, seed=0)
+    outs = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = URedConfig(batch_size=2, MAX_NUM_PARTS=8, num_target_points=64,
+                         num_part_points=16, sem_latent_dim=8,
+                         source_latent_dim=16, target_latent_dim=16,
+                         part_latent_dim=16, compute_dtype=dt)
+        model = URED(cfg)
+        init_batch = {k: jnp.asarray(v) for k, v in synthetic.make_batch(
+            data, np.arange(2), 8).items()}
+        # same RNG -> identical f32 params under both compute dtypes
+        variables = model.init(jax.random.PRNGKey(0), init_batch,
+                               train=False)
+        src_db = build_source_db(cfg, model, variables,
+                                 jnp.asarray(data.src_points),
+                                 jnp.asarray(data.src_sems),
+                                 jnp.asarray(data.src_mats))
+        step = jax.jit(make_eval_step(cfg, model))
+        outs[dt] = step(variables, {
+            "x": jnp.asarray(data.points[:2]),
+            "labels": jnp.asarray(data.labels[:2]),
+            "tgt_sem": jnp.asarray(data.semantics[:2])}, src_db)
+    cd32 = np.asarray(outs["float32"]["cd_full"], np.float64)
+    cd16 = np.asarray(outs["bfloat16"]["cd_full"], np.float64)
+    assert np.isfinite(cd16).all()
+    np.testing.assert_allclose(cd16, cd32, rtol=0.15)
+    mask = np.asarray(outs["float32"]["part_mask"]) > 0
+    agree = (np.asarray(outs["float32"]["top1"])
+             == np.asarray(outs["bfloat16"]["top1"]))[mask].mean()
+    assert agree >= 0.75
