@@ -199,16 +199,16 @@ def main(argv):
     _cache()
     which = set(a for a in argv[1:] if not a.startswith("-")) or {
         "emd", "retrieval", "serve", "bf16", "evalbf16"}
-    if "emd" in which:
-        run_emd()
-    if "retrieval" in which:
-        run_retrieval()
-    if "serve" in which:
-        run_serve()
-    if "bf16" in which:
-        run_bf16()
-    if "evalbf16" in which:
-        run_evalbf16()
+    runners = {"emd": run_emd, "retrieval": run_retrieval,
+               "serve": run_serve, "bf16": run_bf16,
+               "evalbf16": run_evalbf16}
+    for name, fn in runners.items():
+        if name not in which:
+            continue
+        try:
+            fn()
+        except Exception as e:  # one failed experiment must not eat the rest
+            print(json.dumps({"experiment": name, "error": repr(e)[:500]}))
 
 
 if __name__ == "__main__":

@@ -125,7 +125,8 @@ def emd_auction(x: Array, y: Array, eps: float = 0.005,
     if emd_pallas.EMD_PALLAS and emd_pallas.auction_eligible(x.shape[-2]):
         # VMEM-resident auction: the whole iteration loop runs inside one
         # kernel instead of streaming the [N, N] matrix through HBM per
-        # iteration (see ops/emd_pallas.py; env-gated like URED_NN_PALLAS)
+        # iteration — default on TPU (1.8x train / 4.3x eval quality on
+        # v5e); URED_EMD_PALLAS=0 falls back to the XLA auction below
         assign = emd_pallas.auction_assign_pallas(cost, eps, iters)
     else:
         assign = jax.vmap(_auction_single, in_axes=(0, None, None))(

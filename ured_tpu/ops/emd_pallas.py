@@ -38,8 +38,12 @@ Array = jax.Array
 _NEG = -1e18
 
 # dispatch flag, read once at import (process-lifetime semantics, same
-# convention as URED_NN_PALLAS in ops/chamfer.py)
-EMD_PALLAS = os.environ.get("URED_EMD_PALLAS", "0") == "1"
+# convention as URED_NN_PALLAS in ops/chamfer.py).  Default ON: measured on
+# v5e at [8, 1024] the kernel beats the XLA auction 1.8x at train quality
+# (15.3 vs 27.0 ms) and 4.3x at eval quality (473 vs 2039 ms), bijective in
+# both regimes; URED_EMD_PALLAS=0 opts out.  Non-TPU backends and
+# non-lane-aligned N always take the XLA path (``auction_eligible``).
+EMD_PALLAS = os.environ.get("URED_EMD_PALLAS", "1") == "1"
 
 # [N, N] f32 value matrix + ~2 live matrix temporaries under the ~16 MB
 # VMEM budget
@@ -137,6 +141,12 @@ def auction_assign_pallas(cost: Array, eps: float, iters: int,
         out_specs=pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1, n), jnp.int32),
+        # the auction state (value matrix + a few [N,N] mask temporaries)
+        # peaks ~19 MB at N=1024 — above Mosaic's default 16 MB scoped-VMEM
+        # budget but well inside the v5e's 128 MB VMEM; raise the scoped
+        # limit instead of splitting the matrix (measured OOM on chip)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(cost.astype(jnp.float32))
     owner = out[:, 0]                                  # [B, N] item -> bidder
