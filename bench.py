@@ -152,7 +152,7 @@ def _stop_conflicting_runs():
     import os
     import signal
 
-    for pidfile in ("/tmp/fullscale.pid",):
+    for pidfile in ("/tmp/fullscale.pid", "/tmp/refscale.pid"):
         try:
             pid = int(open(pidfile).read().strip())
         except (OSError, ValueError):
