@@ -251,20 +251,37 @@ def main():
     emd_eval_ms = bench_emd(iters=3, eps=0.002, auction_iters=10000)
 
     baseline_floor = 4.0  # targets/sec implied by the <5 min north star
+    extras = {
+        "train_step_ms": round(step_s * 1e3, 2),
+        "train_samples_per_sec": round(train_cfg.batch_size / step_s, 1),
+        "emd_1024pt_batch8_ms": round(emd_ms, 1),
+        "emd_eval_quality_ms": round(emd_eval_ms, 1),
+        "serve_batch_latency_ms": round(serve_ms, 1),
+        "serve_requests_per_sec": round(serve_rps, 1),
+    }
+    # surface the latest reference-scale end-to-end chain evidence
+    # (benchmarks/reference_scale.py writes it incrementally) if present
+    for chain_json in ("reference_scale.json", "reference_scale_smoke.json"):
+        try:
+            with open(os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), chain_json)) as f:
+                chain = json.load(f)
+        except (OSError, ValueError):
+            continue
+        extras["reference_scale_chain"] = {
+            "scale": chain.get("scale"),
+            "stage_seconds": chain.get("stage_seconds"),
+            "total_seconds": chain.get("total_seconds"),
+            "metrics": chain.get("metrics"),
+        }
+        break
     print(json.dumps({
         "metric": "retrieval+deform eval throughput (2048-pt targets, "
                   "512-source DB, 16-part padding, 512-dim latents)",
         "value": round(eval_tps, 2),
         "unit": "targets/sec/chip",
         "vs_baseline": round(eval_tps / baseline_floor, 2),
-        "extras": {
-            "train_step_ms": round(step_s * 1e3, 2),
-            "train_samples_per_sec": round(train_cfg.batch_size / step_s, 1),
-            "emd_1024pt_batch8_ms": round(emd_ms, 1),
-            "emd_eval_quality_ms": round(emd_eval_ms, 1),
-            "serve_batch_latency_ms": round(serve_ms, 1),
-            "serve_requests_per_sec": round(serve_rps, 1),
-        },
+        "extras": extras,
     }))
 
 
