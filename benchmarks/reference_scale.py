@@ -38,7 +38,18 @@ def _enable_compile_cache():
 def main(argv):
     _enable_compile_cache()
     smoke = "--smoke" in argv
-    args = [a for a in argv[1:] if not a.startswith("--")]
+    # positional args = argv minus flags AND their values (a flag value like
+    # "--targets 40" must not hijack the output-JSON slot)
+    value_flags = {"--epochs", "--targets", "--sources", "--points",
+                   "--ppp", "--base", "--bs"}
+    args, skip = [], False
+    for a in argv[1:]:
+        if skip:
+            skip = False
+        elif a.startswith("--"):
+            skip = a in value_flags
+        else:
+            args.append(a)
     out_json = args[0] if args else (
         "reference_scale_smoke.json" if smoke else "reference_scale.json")
     epochs = 3 if smoke else 300

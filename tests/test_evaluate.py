@@ -115,6 +115,40 @@ def test_evaluate_split_smaller_than_batch():
     assert np.isfinite(metrics["best_full_cd_loss"])
 
 
+def test_fit_batch_size_respects_mesh_dp():
+    """The small-split batch shrink must keep the dp axis even: shrinking
+    to the corpus and THEN rounding down to a dp multiple (mirroring the
+    train loop), raising a clear error only when the corpus can't fill one
+    dp-sharded batch."""
+    from ured_tpu.engine.evaluate import _fit_batch_size
+    from ured_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=2, db=4)
+    assert _fit_batch_size(8, 100, None) == 8
+    assert _fit_batch_size(8, 3, None) == 3          # plain shrink
+    assert _fit_batch_size(8, 3, mesh) == 2          # shrink + dp rounding
+    assert _fit_batch_size(16, 10, mesh) == 10       # 10 % 2 == 0
+    assert _fit_batch_size(16, 11, mesh) == 10       # rounds down to even
+    with pytest.raises(ValueError, match="mesh_dp"):
+        _fit_batch_size(16, 1, mesh)                 # 1 target over dp=2
+
+
+def test_evaluate_small_split_under_mesh():
+    """A split smaller than batch_size evaluates under a dp mesh (the
+    shrink used to run after the divisibility guard and crash)."""
+    cfg = _tiny_cfg()
+    cfg.batch_size = 8
+    cfg.mesh_dp, cfg.mesh_db = 2, 1
+    data = synthetic.generate(num_targets=3, num_sources=6, n_points=64,
+                              points_per_part=16, max_parts=8, seed=0)
+    model = URED(cfg)
+    init_batch = {k: jnp.asarray(v) for k, v in synthetic.make_batch(
+        data, np.arange(2), 8).items()}
+    variables = model.init(jax.random.PRNGKey(0), init_batch, train=False)
+    metrics = evaluate(cfg, model, variables, data)
+    assert np.isfinite(metrics["best_full_cd_loss"])
+
+
 def test_corpus_eval_matches_per_batch():
     from ured_tpu.engine.evaluate import make_corpus_eval, stack_batches
 
