@@ -460,6 +460,28 @@ def cl_acc_for_batch(out, data, offset: int, threshold: float):
     return int(np.sum(hit)), int(np.sum(scored))
 
 
+def _fit_batch_size(bs: int, n_total: int, mesh) -> int:
+    """Unified eval/vis batch sizing: shrink ``bs`` to fit a small split
+    while keeping it divisible by the mesh's dp axis.
+
+    A *configured* ``bs`` the dp axis does not divide is a config error and
+    raises immediately; a batch shrunk to fit the split is instead rounded
+    down to the nearest dp multiple, raising only when the split cannot
+    fill even one dp-sharded batch.
+    """
+    dp = mesh.shape["dp"] if mesh is not None else 1
+    if bs % dp:
+        raise ValueError(
+            f"batch_size {bs} not divisible by mesh_dp={dp}")
+    if n_total < bs:
+        bs = max(1, n_total) // dp * dp
+        if bs == 0:
+            raise ValueError(
+                f"split of {n_total} targets cannot fill one batch "
+                f"divisible by mesh_dp={dp}")
+    return bs
+
+
 def evaluate(cfg: URedConfig, model: URED, variables, data,
              batch_size: Optional[int] = None,
              ndcg_sigma: Optional[float] = None,
@@ -495,15 +517,8 @@ def evaluate(cfg: URedConfig, model: URED, variables, data,
 
         mesh = resolve_mesh(cfg)
 
-    bs = batch_size or cfg.batch_size
     n_total = data.points.shape[0]
-    if n_total < bs:
-        # small corpora (e.g. a tiny test split): shrink the batch instead
-        # of producing ZERO drop-remainder batches
-        bs = max(1, n_total)
-    if mesh is not None and bs % mesh.shape["dp"]:
-        raise ValueError(f"batch_size {bs} not divisible by "
-                         f"mesh_dp={mesh.shape['dp']}")
+    bs = _fit_batch_size(batch_size or cfg.batch_size, n_total, mesh)
     num = (n_total // bs) * bs
 
     src_db = build_source_db(

@@ -43,14 +43,13 @@ def run_vis(cfg: URedConfig, model: URED, variables, data, source_db,
         from ured_tpu.parallel.mesh import resolve_mesh
 
         mesh = resolve_mesh(cfg)
-    if mesh is not None and bs % mesh.shape["dp"]:
-        raise ValueError(f"batch_size {bs} not divisible by "
-                         f"mesh_dp={mesh.shape['dp']}")
     n = data.points.shape[0] if max_targets is None \
         else min(max_targets, data.points.shape[0])
-    if n < bs:
-        # small corpora: shrink the batch rather than index past the end
-        bs = max(1, n)
+    # small corpora: shrink the batch (dp-evenly) rather than index past
+    # the end or produce zero drop-remainder batches
+    from ured_tpu.engine.evaluate import _fit_batch_size
+
+    bs = _fit_batch_size(bs, n, mesh)
     n = (n // bs) * bs
 
     # SourceDB uses points/mats/sem_ids; SyntheticData uses src_* names
