@@ -30,16 +30,23 @@ def _force(out):
     return np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
 
 
-def bench_eval(cfg, model, variables, data):
-    import jax
+def encode_db(cfg, model, variables, data):
     import jax.numpy as jnp
 
-    from ured_tpu.engine.evaluate import build_source_db, make_eval_step
+    from ured_tpu.engine.evaluate import build_source_db
 
-    src_db = build_source_db(
+    return build_source_db(
         cfg, model, variables,
         jnp.asarray(data.src_points), jnp.asarray(data.src_sems),
         jnp.asarray(data.src_mats))
+
+
+def bench_eval(cfg, model, variables, data, src_db):
+    import jax
+    import jax.numpy as jnp
+
+    from ured_tpu.engine.evaluate import make_eval_step
+
     step = jax.jit(make_eval_step(cfg, model))
     num_targets = data.points.shape[0]
     batches = []
@@ -96,21 +103,20 @@ def bench_train_step(cfg, model, data, n_steps: int = 50):
     return dt
 
 
-def bench_serve(cfg, model, variables, data, iters: int = 10):
+def bench_serve(cfg, model, variables, data, src_db, iters: int = 10,
+                response_keys=None, response_dtype=None):
     """End-to-end serving latency: predict() wall time per batch INCLUDING
-    the device->host response transfer (top-1 ids, params, deformed
-    geometry) — the number a deployment actually sees."""
-    import jax.numpy as jnp
-
-    from ured_tpu.engine.evaluate import build_source_db
+    the device->host response transfer — the number a deployment actually
+    sees.  With ``response_keys``/``response_dtype`` the session projects
+    the payload on device first (the "lean" wire contract for
+    network-attached accelerators, where the ~6 MB geometry transfer
+    dominates the ~12 ms device step)."""
     from ured_tpu.engine.serve import InferenceSession
 
-    src_db = build_source_db(
-        cfg, model, variables,
-        jnp.asarray(data.src_points), jnp.asarray(data.src_sems),
-        jnp.asarray(data.src_mats))
     sess = InferenceSession(cfg, model, variables, src_db,
-                            batch_size=cfg.batch_size)
+                            batch_size=cfg.batch_size,
+                            response_keys=response_keys,
+                            response_dtype=response_dtype)
     bs = cfg.batch_size
     pts = data.points[:bs]
     labels = data.labels[:bs]
@@ -120,7 +126,7 @@ def bench_serve(cfg, model, variables, data, iters: int = 10):
     for _ in range(iters):
         out = sess.predict(pts, labels, sems)   # device_get inside
     dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(out["cd_full"]).all()
+    assert np.isfinite(np.asarray(out["cd_full"], np.float32)).all()
     return dt * 1e3, bs / dt
 
 
@@ -235,8 +241,14 @@ def main():
         tiny, np.arange(1), cfg.MAX_NUM_PARTS).items()}
     variables = model.init(jax.random.PRNGKey(0), init_batch, train=False)
 
-    eval_tps = bench_eval(cfg, model, variables, data)
-    serve_ms, serve_rps = bench_serve(cfg, model, variables, data)
+    src_db = encode_db(cfg, model, variables, data)  # encoded ONCE
+    eval_tps = bench_eval(cfg, model, variables, data, src_db)
+    serve_ms, serve_rps = bench_serve(cfg, model, variables, data, src_db)
+    # lean wire contract: ids + params + scalar cd only, floats in bf16
+    _, serve_lean_rps = bench_serve(
+        cfg, model, variables, data, src_db,
+        response_keys=("top1", "params", "cd_full"),
+        response_dtype="bfloat16")
 
     train_cfg = URedConfig()  # reference scale: bs 16, 2048 pts, 512 dims
     train_data = synthetic.generate(
@@ -258,6 +270,7 @@ def main():
         "emd_eval_quality_ms": round(emd_eval_ms, 1),
         "serve_batch_latency_ms": round(serve_ms, 1),
         "serve_requests_per_sec": round(serve_rps, 1),
+        "serve_lean_requests_per_sec": round(serve_lean_rps, 1),
     }
     # surface the latest reference-scale end-to-end chain evidence
     # (benchmarks/reference_scale.py writes it incrementally) if present

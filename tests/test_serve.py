@@ -121,6 +121,46 @@ def test_session_on_mesh_matches_single_device(session, requests_batch):
         mesh_sess.export_artifact()
 
 
+def test_response_projection(session, requests_batch):
+    """serve_response_keys/serve_response_dtype project and downcast the
+    payload ON DEVICE: only the requested keys cross the wire, floats in
+    the requested dtype, ids untouched, values matching the full session."""
+    import ml_dtypes
+
+    pts, labels, sems = requests_batch
+    lean = InferenceSession(
+        session.cfg, session.model, session.variables,
+        {k: v for k, v in session.src_db.items()},
+        batch_size=session.batch_size,
+        response_keys=("top1", "params", "cd_full"),
+        response_dtype="bfloat16")
+    out = lean.predict(pts, labels, sems)
+    assert set(out) == {"top1", "params", "cd_full"}
+    assert out["cd_full"].dtype == ml_dtypes.bfloat16
+    assert out["top1"].dtype == np.int32 or np.issubdtype(
+        out["top1"].dtype, np.integer)
+    full = session.predict(pts, labels, sems)
+    np.testing.assert_array_equal(out["top1"], full["top1"])
+    np.testing.assert_allclose(np.asarray(out["cd_full"], np.float32),
+                               full["cd_full"], rtol=2e-2, atol=1e-4)
+    with pytest.raises(ValueError, match="unknown response keys"):
+        InferenceSession(
+            session.cfg, session.model, session.variables,
+            {k: v for k, v in session.src_db.items()},
+            batch_size=session.batch_size, response_keys=("nope",))
+
+
+def test_response_projection_from_config(tmp_path):
+    """The cfg extras route (the serve CLI's path) builds a projected
+    session."""
+    cfg = _tiny_cfg()
+    cfg.extras.update(serve_response_keys=["top1", "cd_full"],
+                      serve_response_dtype="float16")
+    sess = InferenceSession.from_config(cfg)
+    assert sess.response_keys == ("top1", "cd_full")
+    assert sess.response_dtype == np.float16
+
+
 def test_serve_cli(tmp_path):
     from ured_tpu.engine import serve
 

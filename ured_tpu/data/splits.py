@@ -140,10 +140,9 @@ def main(argv):
         print(f"{k}: {v}")
 
 
-def cli():
-    import sys
+from ured_tpu.utils.cli import make_cli
 
-    main(sys.argv)
+cli = make_cli(main)
 
 
 if __name__ == "__main__":

@@ -48,12 +48,27 @@ class InferenceSession:
 
     def __init__(self, cfg: URedConfig, model: URED, variables,
                  src_db: Dict[str, jax.Array], batch_size: int = 16,
-                 k_candidates: int = 1, mesh=None):
+                 k_candidates: int = 1, mesh=None,
+                 response_keys=None, response_dtype=None):
         from ured_tpu.engine.evaluate import make_eval_step
 
         self.cfg = cfg
         self.model = model
         self.batch_size = int(batch_size)
+        # response projection: on network-attached accelerators the
+        # response TRANSFER (~6 MB of deformed geometry per batch) dominates
+        # the ~12 ms device step, so a deployment that only needs retrieval
+        # ids + params can project the payload down and/or downcast floats
+        # ON DEVICE before the wire (cfg extras serve_response_keys /
+        # serve_response_dtype through from_config)
+        if response_keys is not None:
+            unknown = set(response_keys) - set(SERVE_KEYS)
+            if unknown:
+                raise ValueError(f"unknown response keys {sorted(unknown)}; "
+                                 f"valid: {SERVE_KEYS}")
+        self.response_keys = tuple(response_keys or SERVE_KEYS)
+        self.response_dtype = (jnp.dtype(response_dtype)
+                               if response_dtype is not None else None)
         self.num_points = int(cfg.num_target_points)
         s_real = int(src_db["codes"].shape[0])
         self._dp_sharding = None
@@ -77,9 +92,16 @@ class InferenceSession:
         step = make_eval_step(cfg, model, k_candidates=k_candidates,
                               mesh=mesh, num_real_sources=s_real)
 
+        keys, rdtype = self.response_keys, self.response_dtype
+
         def serve_step(variables, batch, src_db):
             out = step(variables, batch, src_db)
-            return {k: out[k] for k in SERVE_KEYS}
+            out = {k: out[k] for k in keys}
+            if rdtype is not None:
+                out = {k: v.astype(rdtype)
+                       if jnp.issubdtype(v.dtype, jnp.floating) else v
+                       for k, v in out.items()}
+            return out
 
         self._serve_step = serve_step
         self._step = jax.jit(serve_step)
@@ -89,7 +111,12 @@ class InferenceSession:
                     batch_size: Optional[int] = None,
                     k_candidates: int = 1, mesh=None) -> "InferenceSession":
         """Build the session the way the evaluate CLI does: resolve the
-        corpus, restore the checkpoint groups, encode the source DB."""
+        corpus, restore the checkpoint groups, encode the source DB.
+
+        Consumes the cfg extras ``serve_response_keys`` (list of
+        ``SERVE_KEYS`` names) and ``serve_response_dtype`` (e.g.
+        ``"bfloat16"``) for the response projection.
+        """
         from ured_tpu.engine.evaluate import (build_source_db,
                                               restore_eval_variables)
         from ured_tpu.engine.train import resolve_corpus
@@ -102,7 +129,9 @@ class InferenceSession:
             cfg, model, variables, jnp.asarray(data.src_points),
             jnp.asarray(data.src_sems), jnp.asarray(data.src_mats))
         return cls(cfg, model, variables, src_db, batch_size=bs,
-                   k_candidates=k_candidates, mesh=mesh)
+                   k_candidates=k_candidates, mesh=mesh,
+                   response_keys=cfg.extras.get("serve_response_keys"),
+                   response_dtype=cfg.extras.get("serve_response_dtype"))
 
     def _batch(self, points, labels, tgt_sem):
         b = {"x": jnp.asarray(points, jnp.float32),
@@ -154,7 +183,7 @@ class InferenceSession:
             outs.append(jax.device_get(
                 self._step(self.variables, batch, self.src_db)))
         merged = {k: np.concatenate([o[k] for o in outs])[:r]
-                  for k in SERVE_KEYS if np.ndim(outs[0][k]) > 0}
+                  for k in self.response_keys if np.ndim(outs[0][k]) > 0}
         if single:
             merged = {k: v[0] for k, v in merged.items()}
         return merged
@@ -243,24 +272,27 @@ def main(argv):
     cfg = URedConfig.from_json(ns.config) if ns.config \
         else URedConfig(batch_size=8)
     cfg.extras.setdefault("synthetic_targets", 32)
+    # resolve the corpus ONCE: the session needs it for the source DB and
+    # the smoke request reuses the same object (no double resolve)
+    from ured_tpu.engine.train import resolve_corpus
+
+    data = resolve_corpus(cfg)
     session = InferenceSession.from_config(
-        cfg, k_candidates=int(cfg.extras.get("k_candidates", 1)))
+        cfg, data=data, k_candidates=int(cfg.extras.get("k_candidates", 1)))
 
     if ns.requests:
         req = np.load(ns.requests)
         points, labels, tgt_sem = (req["points"], req["labels"],
                                    req["tgt_sem"])
     else:
-        from ured_tpu.engine.train import resolve_corpus
-
-        data = resolve_corpus(cfg)
         batch = data.make_batch(np.arange(min(4, len(data))))
         points, labels, tgt_sem = (batch["x"], batch["labels"],
                                    batch["tgt_sem"])
 
     out = session.predict(points, labels, tgt_sem)
-    print(f"served {np.asarray(points).shape[0]} requests: "
-          f"mean cd {float(np.mean(out['cd_full'])):.6f}")
+    cd = out.get("cd_full")  # may be projected out by serve_response_keys
+    print(f"served {np.asarray(points).shape[0]} requests" +
+          (f": mean cd {float(np.mean(cd)):.6f}" if cd is not None else ""))
 
     out_path = ns.out
     np.savez(out_path, **out)
@@ -280,8 +312,6 @@ if __name__ == "__main__":
     main(sys.argv)
 
 
-def cli():
-    """Console-script entry point (pyproject [project.scripts])."""
-    import sys
+from ured_tpu.utils.cli import make_cli
 
-    main(sys.argv)
+cli = make_cli(main)

@@ -200,8 +200,6 @@ if __name__ == "__main__":
     main(sys.argv)
 
 
-def cli():
-    """Console-script entry point (pyproject [project.scripts])."""
-    import sys
+from ured_tpu.utils.cli import make_cli
 
-    main(sys.argv)
+cli = make_cli(main)
