@@ -70,6 +70,16 @@ def main(argv):
     from ured_tpu.data import synthetic
 
     timings = {}
+    # a supervisor restart starts a fresh process: carry the per-stage
+    # timings a previous attempt already recorded (skipped stages keep
+    # their real cost in the final evidence)
+    try:
+        with open(out_json) as f:
+            prior = json.load(f)
+        if prior.get("scale", {}).get("targets") == num_targets:
+            timings.update(prior.get("stage_seconds") or {})
+    except (OSError, ValueError):
+        pass
     results = {"scale": {"targets": num_targets, "sources": num_sources,
                          "epochs": epochs}}
 
@@ -93,15 +103,32 @@ def main(argv):
                 checkpoint_results()
         return _T()
 
-    with stage("generate"):
-        data = synthetic.generate(
-            num_targets=num_targets, num_sources=num_sources,
-            n_points=n_points, points_per_part=ppp, max_parts=16, seed=0)
+    # generate+export are deterministic (seed=0) and cost ~10 min at full
+    # scale: a supervisor restart (benchmarks/supervise.py) skips them when
+    # the sentinel says this exact scale was already exported
+    sentinel = os.path.join(base, ".export_done")
+    want = f"{num_targets}x{num_sources}x{n_points}x{ppp}"
+    done = False
+    try:
+        done = open(sentinel).read().strip() == want
+    except OSError:
+        pass
+    if done:
+        print(f"=== generate/export_tree: cached ({want}) ===", flush=True)
+        timings.setdefault("generate", 0.0)
+        timings.setdefault("export_tree", 0.0)
+    else:
+        with stage("generate"):
+            data = synthetic.generate(
+                num_targets=num_targets, num_sources=num_sources,
+                n_points=n_points, points_per_part=ppp, max_parts=16, seed=0)
 
-    with stage("export_tree"):
-        synthetic.export_partnet_tree(
-            data, base, num_train=int(0.8 * num_targets))
-    del data
+        with stage("export_tree"):
+            synthetic.export_partnet_tree(
+                data, base, num_train=int(0.8 * num_targets))
+        del data
+        with open(sentinel, "w") as f:
+            f.write(want)
 
     def cfg_dict(mode):
         d = {

@@ -65,6 +65,19 @@ def test_eligibility_budget():
                         interpret=True)
 
 
+@pytest.mark.parametrize("pp", [2, 3, 4])
+def test_pairs_per_step_parity(clouds, pp):
+    """The multi-pair grid step (URED_DCD_PPS) is bit-identical to the
+    one-pair form, including when pp does not divide B (padding rows are
+    computed then discarded)."""
+    x, y = clouds                                       # B=4: pp=3 pads
+    base = pair_dcd_pallas(x, y, alpha=1000.0, interpret=True)
+    multi = pair_dcd_pallas(x, y, alpha=1000.0, interpret=True,
+                            pairs_per_step=pp)
+    for a, b in zip(base, multi):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pair_chunk_fused_matches_unfused():
     """The dispatch seam in data.pairs._pair_chunk: both paths must agree."""
     from ured_tpu.data.pairs import _pair_chunk

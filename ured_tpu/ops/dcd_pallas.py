@@ -34,6 +34,7 @@ truncation.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,11 @@ Array = jax.Array
 # [N, M] distance block + per-direction vectors live at once; keep the
 # pair under the ~16 MB/core VMEM budget with head-room
 _MAX_PAIR_ELEMS = 1_200_000
+
+# pairs per grid step (read once at import; process-lifetime semantics like
+# URED_NN_PALLAS): >1 loops several pairs inside one kernel invocation,
+# amortizing per-step setup — A/B knob for the archive job
+_PAIRS_PER_STEP = int(os.environ.get("URED_DCD_PPS", "1"))
 
 
 def _direction(a, b):
@@ -74,61 +80,86 @@ def _direction(a, b):
     return dist, w
 
 
-def _pair_dcd_kernel(x_ref, y_ref, d1_ref, w1_ref, d2_ref, w2_ref):
-    """Grid (B,); one (x [N, 3], y [M, 3]) pair per step.
+def _pair_dcd_kernel(x_ref, y_ref, d1_ref, w1_ref, d2_ref, w2_ref, *,
+                     pairs: int):
+    """Grid (B/pairs,); ``pairs`` (x [N, 3], y [M, 3]) pairs per step.
 
     Convention follows ``calc_dcd(x, gt)`` with ``x=x_ref``, ``gt=y_ref``
     (reference ``model_utils.py:calc_dcd:13-51``): direction 1 maps each
-    gt (y) point to its nearest x point, direction 2 the reverse.
+    gt (y) point to its nearest x point, direction 2 the reverse.  The
+    per-pair loop reuses one [N, M] VMEM block sequentially, so ``pairs``
+    scales grid-step work without scaling the VMEM footprint.
     """
-    x = x_ref[0]                                       # [N, 3]
-    y = y_ref[0]                                       # [M, 3]
-    d2, w2 = _direction(x, y)                          # x -> nearest y
-    d1, w1 = _direction(y, x)                          # y -> nearest x
-    d1_ref[0, 0, :] = d1
-    w1_ref[0, 0, :] = w1
-    d2_ref[0, 0, :] = d2
-    w2_ref[0, 0, :] = w2
+    def one(j, _):
+        x = x_ref[j]                                   # [N, 3]
+        y = y_ref[j]                                   # [M, 3]
+        d2, w2 = _direction(x, y)                      # x -> nearest y
+        d1, w1 = _direction(y, x)                      # y -> nearest x
+        d1_ref[j, 0, :] = d1
+        w1_ref[j, 0, :] = w1
+        d2_ref[j, 0, :] = d2
+        w2_ref[j, 0, :] = w2
+        return 0
+
+    if pairs == 1:
+        one(0, 0)
+    else:
+        jax.lax.fori_loop(0, pairs, one, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("alpha", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("alpha", "interpret", "pairs_per_step"))
 def pair_dcd_pallas(x: Array, y: Array, alpha: float = 1000.0,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    pairs_per_step: int | None = None):
     """Batched fused DCD values: x [B, N, 3], y [B, M, 3] ->
     (dcd, cd_p, cd_t) each [B].  ``n_lambda`` is fixed at the reference
-    pair-job setting of 1."""
+    pair-job setting of 1.  ``pairs_per_step`` (default: the
+    ``URED_DCD_PPS`` env var, 1) loops that many pairs inside each grid
+    step; B is padded up to a multiple (padding rows computed then
+    discarded)."""
     b, n, _ = x.shape
     m = y.shape[1]
     if n * m > _MAX_PAIR_ELEMS:
         raise ValueError(f"pair [N={n}, M={m}] exceeds the VMEM budget")
+    pp = _PAIRS_PER_STEP if pairs_per_step is None else int(pairs_per_step)
+    pp = max(1, min(pp, b))
+    b_pad = -(-b // pp) * pp
+    xp = x.astype(jnp.float32)
+    yp = y.astype(jnp.float32)
+    if b_pad != b:
+        xp = jnp.concatenate(
+            [xp, jnp.zeros((b_pad - b, n, 3), jnp.float32)])
+        yp = jnp.concatenate(
+            [yp, jnp.zeros((b_pad - b, m, 3), jnp.float32)])
 
     vm = pltpu.VMEM
     d1, w1, d2, w2 = pl.pallas_call(
-        _pair_dcd_kernel,
-        grid=(b,),
+        functools.partial(_pair_dcd_kernel, pairs=pp),
+        grid=(b_pad // pp,),
         in_specs=[
-            pl.BlockSpec((1, n, 3), lambda i: (i, 0, 0), memory_space=vm),
-            pl.BlockSpec((1, m, 3), lambda i: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec((pp, n, 3), lambda i: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec((pp, m, 3), lambda i: (i, 0, 0), memory_space=vm),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0), memory_space=vm),
-            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0), memory_space=vm),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=vm),
-            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec((pp, 1, m), lambda i: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec((pp, 1, m), lambda i: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec((pp, 1, n), lambda i: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec((pp, 1, n), lambda i: (i, 0, 0), memory_space=vm),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 1, m), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 1, m), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 1, n), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=b * (2 * 3 * 2 * n * m + 4 * n * m),
-            bytes_accessed=b * (n + m) * (3 + 2) * 4,
+            flops=b_pad * (2 * 3 * 2 * n * m + 4 * n * m),
+            bytes_accessed=b_pad * (n + m) * (3 + 2) * 4,
             transcendentals=0),
-    )(x.astype(jnp.float32), y.astype(jnp.float32))
-    d1, w1, d2, w2 = d1[:, 0], w1[:, 0], d2[:, 0], w2[:, 0]
+    )(xp, yp)
+    d1, w1, d2, w2 = d1[:b, 0], w1[:b, 0], d2[:b, 0], w2[:b, 0]
 
     # scalar metrics on [B, N]/[B, M] vectors — fused elementwise in XLA
     # (reference weight/loss combination, model_utils.py:31-49, n_lambda=1)
