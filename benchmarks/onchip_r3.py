@@ -195,13 +195,79 @@ def run_evalbf16():
         "cd_rel_diff_mean": round(float(rel.mean()), 5)}))
 
 
+def run_dcdpps():
+    """Multi-pair grid steps in the fused pair-DCD kernel: pairs_per_step
+    in {1, 2, 4, 8, 16} at the archive job's live chunk shape (16 x 64
+    pairs of [1024] x [1024] clouds) — does amortizing per-step setup beat
+    the one-pair pipeline?"""
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.timing import time_fn
+    from ured_tpu.ops.dcd_pallas import pair_dcd_pallas
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(1024, 1024, 3)), jnp.float32)
+    y = jnp.asarray(rng.uniform(size=(1024, 1024, 3)), jnp.float32)
+
+    out = {}
+    base = None
+    for pp in (1, 2, 4, 8, 16):
+        f = jax.jit(lambda a, b, pp=pp: pair_dcd_pallas(
+            a, b, alpha=1000.0, pairs_per_step=pp)[0])
+        t = time_fn(f, x, y, iters=5, warmup=2)
+        out[f"pps{pp}_ms"] = round(t * 1e3, 2)
+        if pp == 1:
+            base = f(x, y)
+        else:
+            np.testing.assert_allclose(np.asarray(f(x, y)),
+                                       np.asarray(base), rtol=1e-6)
+    print(json.dumps({"experiment": "dcdpps",
+                      "shape": "[1024 pairs, 1024x1024 pts]", **out}))
+
+
+def run_evalbs():
+    """Eval-pipeline throughput vs batch size (32 = bench default, 64,
+    128): per-dispatch host latency over the tunnel amortizes with batch,
+    HBM and compile cost grow."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import bench_eval, encode_db
+    from ured_tpu.config import URedConfig
+    from ured_tpu.data import synthetic
+    from ured_tpu.models.ured import URED
+
+    out = {}
+    for bs in (32, 64, 128):
+        cfg = URedConfig(batch_size=bs)
+        data = synthetic.generate(
+            num_targets=128, num_sources=512,
+            n_points=cfg.num_target_points,
+            points_per_part=cfg.num_part_points,
+            max_parts=cfg.MAX_NUM_PARTS, seed=0)
+        model = URED(cfg)
+        tiny = synthetic.generate(
+            num_targets=1, num_sources=8, n_points=256, points_per_part=64,
+            max_parts=cfg.MAX_NUM_PARTS, seed=1)
+        init_batch = {k: jnp.asarray(v) for k, v in synthetic.make_batch(
+            tiny, np.arange(1), cfg.MAX_NUM_PARTS).items()}
+        variables = model.init(jax.random.PRNGKey(0), init_batch,
+                               train=False)
+        src_db = encode_db(cfg, model, variables, data)
+        out[f"bs{bs}_tps"] = round(
+            bench_eval(cfg, model, variables, data, src_db), 1)
+    print(json.dumps({"experiment": "evalbs", **out}))
+
+
 def main(argv):
     _cache()
     which = set(a for a in argv[1:] if not a.startswith("-")) or {
         "emd", "retrieval", "serve", "bf16", "evalbf16"}
     runners = {"emd": run_emd, "retrieval": run_retrieval,
                "serve": run_serve, "bf16": run_bf16,
-               "evalbf16": run_evalbf16}
+               "evalbf16": run_evalbf16, "dcdpps": run_dcdpps,
+               "evalbs": run_evalbs}
     for name, fn in runners.items():
         if name not in which:
             continue

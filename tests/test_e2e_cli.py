@@ -219,3 +219,44 @@ def test_preprocessing_cli(tmp_path, capsys):
     prep_mod.main(["prep", sp, out_dir, "1"])
     assert "processed 1 shapes" in capsys.readouterr().out
     assert os.listdir(out_dir)
+
+
+def test_reference_scale_micro_chain(tmp_path, monkeypatch):
+    """The benchmark chain script itself (benchmarks/reference_scale.py) at
+    micro scale: generate -> export -> pair archives -> train -> evaluate
+    -> vis in one process, plus its restart behaviors (scale-stamped
+    generate/export skip; per-stage timings carried across attempts)."""
+    import importlib.util
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "reference_scale", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "benchmarks", "reference_scale.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    monkeypatch.chdir(str(tmp_path))
+    out_json = str(tmp_path / "chain.json")
+    base = str(tmp_path / "tree")
+    argv = ["reference_scale", out_json, "--smoke",
+            "--targets", "10", "--sources", "8", "--points", "64",
+            "--ppp", "16", "--bs", "2", "--epochs", "1", "--base", base]
+    mod.main(argv)
+    with open(out_json) as f:
+        res = json.load(f)
+    assert res["scale"] == {"targets": 10, "sources": 8, "epochs": 1}
+    for st in ("generate", "export_tree", "pair_archive_train",
+               "pair_archive_test", "train", "evaluate", "vis"):
+        assert st in res["stage_seconds"], st
+    assert np.isfinite(res["metrics"]["best_full_cd_loss"])
+    assert res["metrics"]["best_full_cd_loss"] >= 0
+    gen_t = res["stage_seconds"]["generate"]
+    assert gen_t > 0
+
+    # "restart": generate/export skip via the sentinel, timings carried
+    mod.main(argv)
+    with open(out_json) as f:
+        res2 = json.load(f)
+    assert res2["stage_seconds"]["generate"] == gen_t  # carried, not 0
+    assert os.path.exists(os.path.join(base, ".export_done"))
