@@ -18,6 +18,8 @@ program, giving device-only time without per-dispatch host overhead.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -149,64 +151,153 @@ def bench_emd(n: int = 1024, b: int = 8, iters: int = 5,
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def _stop_conflicting_runs():
-    """Concurrent clients wedge each other on single-chip remote backends
-    (FAILED_PRECONDITION / signal-6).  If a long resumable job (the
-    reference-scale chain under benchmarks/supervise.py) is live, stop its
-    process tree before benching — its stages resume from row markers and
-    checkpoints on the next launch."""
-    import os
-    import signal
-
-    for pidfile in ("/tmp/fullscale.pid", "/tmp/refscale.pid"):
-        try:
-            pid = int(open(pidfile).read().strip())
-        except (OSError, ValueError):
-            continue
-        try:  # stale-pidfile safety: only kill the job we actually started
-            cmd = open(f"/proc/{pid}/cmdline").read()
-        except OSError:
-            continue
-        if not any(s in cmd for s in ("supervise", "reference_scale",
-                                      "wait_and_run")):
-            continue
-        # kill the recorded pid and any direct children (supervisor+child)
-        for _ in range(2):
-            try:
-                kids = [int(x) for x in os.popen(
-                    f"ps -o pid= --ppid {pid}").read().split()]
-            except ValueError:
-                kids = []
-            for k in kids:
-                _stop_pid_tree(k, signal)
-            _stop_pid_tree(pid, signal)
-            import time
-
-            time.sleep(1)
+def _proc_running(pid: int) -> bool:
+    """True while the pid exists and is not a zombie (an un-reaped child
+    keeps its /proc entry after exiting; it no longer holds the chip)."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            return f.read().rsplit(")", 1)[1].split()[0] != "Z"
+    except (OSError, IndexError):
+        return False
 
 
-def _stop_pid_tree(pid: int, signal):
+def _pid_tree(pid: int):
     import os
 
+    tree = [pid]
     try:
         kids = [int(x) for x in os.popen(
             f"ps -o pid= --ppid {pid}").read().split()]
     except ValueError:
         kids = []
     for k in kids:
-        _stop_pid_tree(k, signal)
-    try:
-        os.kill(pid, signal.SIGKILL)
-        print(f"bench: stopped conflicting pid {pid}")
-    except ProcessLookupError:
-        pass
+        tree.extend(_pid_tree(k))
+    return tree
 
 
-def main():
+_CHAIN_PIDFILES = ("/tmp/fullscale.pid", "/tmp/refscale.pid")
+
+
+def _stop_conflicting_runs(grace_s: float = 120.0,
+                           pidfiles=_CHAIN_PIDFILES):
+    """Concurrent clients wedge each other on single-chip remote backends
+    (FAILED_PRECONDITION / signal-6).  If a long resumable job (the
+    reference-scale chain under benchmarks/supervise.py) is live, stop it
+    COOPERATIVELY before benching: SIGTERM the supervisor (it forwards a
+    SIGTERM to the child, which flushes its row block / checkpoint and
+    closes its backend connection), wait for the whole tree to exit, and
+    only escalate to SIGKILL after ``grace_s``.  Round 3's SIGKILL +
+    1-second-sleep variant left the backend holding the dead client's
+    context and the bench died on its first device op — hence this shape.
+
+    Returns True if a chain was stopped (the caller relaunches it via
+    ``benchmarks/launch_chain.sh`` after benching — its stages resume from
+    row markers and checkpoints)."""
+    import os
+    import signal
+    import time
+
+    stopped = False
+    for pidfile in pidfiles:
+        try:
+            pid = int(open(pidfile).read().strip())
+        except (OSError, ValueError):
+            continue
+        try:  # stale-pidfile safety: only stop the job we actually started
+            cmd = open(f"/proc/{pid}/cmdline").read()
+        except OSError:
+            continue
+        if not any(s in cmd for s in ("supervise", "reference_scale",
+                                      "wait_and_run")):
+            continue
+        tree = _pid_tree(pid)
+        print(f"bench: asking chain pid {pid} to stop (tree {tree})",
+              flush=True)
+        try:
+            os.kill(pid, signal.SIGTERM)
+        except ProcessLookupError:
+            continue
+        stopped = True
+        deadline = time.monotonic() + grace_s
+        while time.monotonic() < deadline:
+            if not any(_proc_running(p) for p in tree):
+                print("bench: chain exited cleanly", flush=True)
+                break
+            time.sleep(2)
+        else:
+            for p in reversed(tree):  # leaves first
+                try:
+                    os.kill(p, signal.SIGKILL)
+                    print(f"bench: SIGKILL stubborn pid {p}", flush=True)
+                except ProcessLookupError:
+                    pass
+            time.sleep(3)
+    return stopped
+
+
+def _relaunch_chain():
+    import os
+    import subprocess
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "launch_chain.sh")
+    if os.path.exists(script):
+        subprocess.run(["/bin/sh", script], check=False)
+
+
+_PROBE_SRC = """
+import jax, jax.numpy as jnp, os
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.expanduser('~/.cache/ured_jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+x = jnp.ones((256, 256))
+import numpy as np
+assert float(np.asarray((x @ x).sum())) == 256.0 * 256 * 256
+print('probe-ok')
+"""
+
+
+def _wait_for_chip(max_wait_s: float = 900.0) -> bool:
+    """Poll the backend with a trivial jitted op IN A SUBPROCESS until it
+    answers.  A freshly released (or freshly wedged) remote backend can
+    refuse the next client for a while — FAILED_PRECONDITION — and a
+    poisoned client context cannot recover in-process, so each probe gets
+    its own interpreter.  Backoff in minutes, not seconds."""
+    import subprocess
+    import sys
+    import time
+
+    t0 = time.monotonic()
+    delay = 10.0
+    attempt = 0
+    while time.monotonic() - t0 < max_wait_s:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True, text=True, timeout=420)
+        except subprocess.TimeoutExpired:
+            print(f"bench: chip probe {attempt} timed out", flush=True)
+            continue
+        if r.returncode == 0 and "probe-ok" in r.stdout:
+            print(f"bench: chip ready (probe {attempt}, "
+                  f"{time.monotonic() - t0:.0f} s)", flush=True)
+            return True
+        tail = (r.stderr or r.stdout).strip().splitlines()[-1:]
+        print(f"bench: chip probe {attempt} failed rc={r.returncode} "
+              f"{tail}; retrying in {delay:.0f} s", flush=True)
+        time.sleep(delay)
+        delay = min(delay * 2, 120.0)
+    return False
+
+
+def run_bench():
+    """The actual measurements.  Runs in a SUBPROCESS of main(): a backend
+    failure (e.g. FAILED_PRECONDITION from a still-wedged chip) kills only
+    this interpreter; the parent re-probes and retries."""
     import jax
     import jax.numpy as jnp
-
-    _stop_conflicting_runs()
 
     # persistent compile cache: the bench compiles several full-scale
     # programs; on remote-compile backends each costs 60-200 s the first
@@ -298,5 +389,56 @@ def main():
     }))
 
 
+def _extract_result_line(stdout: str):
+    """Last stdout line that parses as the bench's JSON result, or None."""
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            parsed = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(parsed, dict) and "metric" in parsed:
+            return line
+    return None
+
+
+def main():
+    """Orchestrator: acquire the chip cooperatively, run the measurements in
+    an isolated subprocess (retrying through transient backend failures),
+    print the single JSON line, and hand the chip back to the chain."""
+    import subprocess
+    import sys
+    import time
+
+    stopped_chain = _stop_conflicting_runs()
+    try:
+        last_tail = ""
+        for attempt in range(1, 4):
+            if not _wait_for_chip():
+                print("bench: chip never became ready", file=sys.stderr,
+                      flush=True)
+                continue
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run"],
+                capture_output=True, text=True, timeout=7200,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            result_line = _extract_result_line(r.stdout)
+            if r.returncode == 0 and result_line:
+                print(result_line)
+                return 0
+            last_tail = (r.stderr or r.stdout)[-2000:]
+            print(f"bench: measurement attempt {attempt} failed "
+                  f"(rc={r.returncode}); tail:\n{last_tail}",
+                  file=sys.stderr, flush=True)
+            time.sleep(30 * attempt)
+        print("bench: all measurement attempts failed", file=sys.stderr,
+              flush=True)
+        return 1
+    finally:
+        if stopped_chain:
+            _relaunch_chain()
+
+
 if __name__ == "__main__":
-    main()
+    if "--run" in sys.argv:
+        raise SystemExit(run_bench())
+    raise SystemExit(main())

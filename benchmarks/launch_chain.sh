@@ -1,0 +1,21 @@
+#!/bin/sh
+# Launch (or resume) the reference-scale chain, detached, under the stall
+# supervisor.  Safe to rerun at any time: the chain's stages resume from
+# their own markers (export sentinel, pair-archive row memmaps, Orbax
+# train-state checkpoints), so a relaunch after a stop loses at most one
+# row block / one checkpoint interval.
+#
+# bench.py stops this chain cooperatively (SIGTERM -> flush -> release)
+# before benching and calls this script afterwards to resume it.
+cd "$(dirname "$0")/.." || exit 1
+PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+export PYTHONPATH
+if [ -f /tmp/refscale.pid ] && kill -0 "$(cat /tmp/refscale.pid)" 2>/dev/null; then
+    echo "chain already running (pid $(cat /tmp/refscale.pid))"
+    exit 0
+fi
+setsid nohup python benchmarks/supervise.py --max-restarts 60 -- \
+    python benchmarks/reference_scale.py /root/repo/reference_scale.json \
+    --base /root/ref_scale_tree >> /root/refscale.log 2>&1 &
+echo $! > /tmp/refscale.pid
+echo "chain launched (pid $(cat /tmp/refscale.pid), log /root/refscale.log)"

@@ -19,8 +19,25 @@ per-stage wall-clock seconds and the final metric trio.
 
 import json
 import os
+import signal
 import sys
 import time
+
+
+def _install_sigterm_exit():
+    """Cooperative shutdown: bench.py (or an operator) sends SIGTERM when it
+    needs the chip.  Converting it to ``SystemExit`` lets the interpreter
+    unwind normally — the stage context managers dump incremental timings,
+    the pair job's completed row blocks stay on disk, Orbax finishes any
+    in-flight save, and the JAX client closes its backend connection so the
+    next client doesn't hit FAILED_PRECONDITION on a half-dead context."""
+
+    def _exit(signum, _frame):
+        print("[reference_scale] SIGTERM: flushing and releasing the chip",
+              flush=True)
+        raise SystemExit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _exit)
 
 
 def _enable_compile_cache():
@@ -36,6 +53,7 @@ def _enable_compile_cache():
 
 
 def main(argv):
+    _install_sigterm_exit()
     _enable_compile_cache()
     smoke = "--smoke" in argv
     # positional args = argv minus flags AND their values (a flag value like
@@ -98,8 +116,13 @@ def main(argv):
                 print(f"=== stage: {name} ===", flush=True)
 
             def __exit__(self, *exc):
-                timings[name] = round(time.monotonic() - self.t0, 1)
-                print(f"=== {name}: {timings[name]} s ===", flush=True)
+                # accumulate across supervisor restarts: a resumed stage's
+                # true cost is the sum of its attempts (and a cache-verify
+                # rerun must not clobber the original work's timing)
+                dt = round(time.monotonic() - self.t0, 1)
+                timings[name] = round(timings.get(name, 0.0) + dt, 1)
+                print(f"=== {name}: {dt} s (cumulative "
+                      f"{timings[name]}) ===", flush=True)
                 checkpoint_results()
         return _T()
 

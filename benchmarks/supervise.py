@@ -57,8 +57,18 @@ def main(argv):
     child = None
 
     def forward(signum, _frame):
+        # cooperative handoff: give the child time to flush row blocks /
+        # checkpoints and close its backend connection (a SIGKILLed client
+        # leaves the remote single-chip backend wedged for the next one)
         if child and child.poll() is None:
-            child.kill()
+            child.terminate()
+            deadline = time.monotonic() + 90.0
+            while child.poll() is None and time.monotonic() < deadline:
+                time.sleep(0.5)
+            if child.poll() is None:
+                print("[supervise] child ignored SIGTERM for 90 s: killing",
+                      flush=True)
+                child.kill()
         raise SystemExit(128 + signum)
 
     signal.signal(signal.SIGTERM, forward)

@@ -1,0 +1,81 @@
+"""Unit tests for bench.py's chip-handoff machinery (no device needed).
+
+Round 3's driver bench crashed because chip acquisition SIGKILLed the
+reference-scale chain and touched the device 1 s later; these tests lock
+the replacement behavior: cooperative SIGTERM stop with an escalation
+grace window, stale-pidfile safety, and robust result-line extraction.
+The full on-chip sequence is rehearsed by ``benchmarks/handoff_rehearsal.py``.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def _spawn_fake_chain(tmp_path, name: str, handler: str):
+    """A process whose cmdline matches the chain filter ("supervise") and
+    signals readiness (handler installed) through a sentinel file."""
+    script = tmp_path / f"fake_supervise_{name}.py"
+    ready = tmp_path / f"{name}.ready"
+    script.write_text(textwrap.dedent(f"""
+        import pathlib, signal, sys, time
+        def bye(signum, frame):
+            sys.exit(0)
+        signal.signal(signal.SIGTERM, {handler})
+        pathlib.Path({str(ready)!r}).touch()
+        time.sleep(600)
+    """))
+    proc = subprocess.Popen([sys.executable, str(script)])
+    deadline = time.monotonic() + 30
+    while not ready.exists():
+        assert time.monotonic() < deadline, "fake chain never became ready"
+        time.sleep(0.05)
+    pidfile = tmp_path / f"{name}.pid"
+    pidfile.write_text(str(proc.pid))
+    return proc, str(pidfile)
+
+
+def test_cooperative_stop_waits_for_clean_exit(tmp_path):
+    proc, pidfile = _spawn_fake_chain(tmp_path, name="a", handler="bye")
+    t0 = time.monotonic()
+    stopped = bench._stop_conflicting_runs(grace_s=30.0, pidfiles=(pidfile,))
+    dt = time.monotonic() - t0
+    assert stopped
+    assert proc.wait(timeout=5) == 0          # exited via its SIGTERM trap
+    assert dt < 25.0                          # did not burn the whole grace
+
+
+def test_stop_escalates_to_sigkill_after_grace(tmp_path):
+    proc, pidfile = _spawn_fake_chain(tmp_path, name="stubborn",
+                                      handler="signal.SIG_IGN")
+    stopped = bench._stop_conflicting_runs(grace_s=4.0, pidfiles=(pidfile,))
+    assert stopped
+    assert proc.wait(timeout=10) == -9        # SIGKILL escalation
+
+
+def test_stale_pidfile_is_ignored(tmp_path):
+    # a pid that exists but is NOT a chain (this test process) must survive
+    pidfile = tmp_path / "stale.pid"
+    pidfile.write_text(str(os.getpid()))
+    stopped = bench._stop_conflicting_runs(grace_s=2.0, pidfiles=(str(pidfile),))
+    assert not stopped
+    # and a pidfile pointing at nothing is fine too
+    pidfile.write_text("999999999")
+    assert not bench._stop_conflicting_runs(grace_s=2.0,
+                                            pidfiles=(str(pidfile),))
+
+
+def test_extract_result_line():
+    good = json.dumps({"metric": "x", "value": 1})
+    noise = "WARNING: something\nnot json\n" + good + "\ntrailing info"
+    assert bench._extract_result_line(noise) == good
+    assert bench._extract_result_line("no json here") is None
+    # a JSON line without "metric" (e.g. chain evidence) is not the result
+    assert bench._extract_result_line(json.dumps({"scale": 1})) is None
