@@ -9,12 +9,24 @@
 # before benching and calls this script afterwards to resume it.
 cd "$(dirname "$0")/.." || exit 1
 PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+# the axon TPU backend registers via sitecustomize in /root/.axon_site;
+# a PYTHONPATH that omits it breaks backend registration entirely (the
+# chain would restart-loop on "Backend 'axon' is not in the list")
+case ":$PYTHONPATH:" in
+    *:/root/.axon_site:*) ;;
+    *) [ -d /root/.axon_site ] && PYTHONPATH="$PYTHONPATH:/root/.axon_site" ;;
+esac
 export PYTHONPATH
 if [ -f /tmp/refscale.pid ] && kill -0 "$(cat /tmp/refscale.pid)" 2>/dev/null; then
     echo "chain already running (pid $(cat /tmp/refscale.pid))"
     exit 0
 fi
-setsid nohup python benchmarks/supervise.py --max-restarts 60 -- \
+# --window 300 --quiet-windows 6: a fresh reference-scale program compiles
+# server-side for many minutes with ZERO local CPU; the default 10-minute
+# quiet budget killed the eval child mid-compile (discarding the compile,
+# looping forever).  30 min of silence is the honest stall threshold here.
+setsid nohup python benchmarks/supervise.py --max-restarts 60 \
+    --window 300 --quiet-windows 6 -- \
     python benchmarks/reference_scale.py /root/repo/reference_scale.json \
     --base /root/ref_scale_tree >> /root/refscale.log 2>&1 &
 echo $! > /tmp/refscale.pid

@@ -9,6 +9,13 @@ stage of the chain a real user runs:
   generate -> export tree -> pair archives (train+test, on-device fused DCD)
   -> label table -> 300-epoch train -> evaluate (+ best-of-k) -> vis export
 
+Every heavy stage runs in its OWN subprocess.  The parent never imports JAX:
+a stage therefore never inherits another stage's device context (train's
+optimizer/resident-source buffers and cached executables with baked-in
+device constants).  Running evaluate in the same process right after train
+hit RESOURCE_EXHAUSTED on the first eval step even after gc+clear_caches —
+only a fresh process (fresh backend client) reliably returns the HBM.
+
 Usage:
   python benchmarks/reference_scale.py out.json [--smoke] [--epochs N]
 
@@ -20,41 +27,78 @@ per-stage wall-clock seconds and the final metric trio.
 import json
 import os
 import signal
+import subprocess
 import sys
 import time
 
+# every stage child gets this preamble: cooperative SIGTERM (flush +
+# release the chip so the next client doesn't hit FAILED_PRECONDITION on a
+# half-dead context) and the persistent compile cache (a fresh program on
+# a remote-compile backend costs 60-200 s; reruns then hit the cache)
+_CHILD_PREAMBLE = """\
+import json, os, signal, sys
 
-def _install_sigterm_exit():
-    """Cooperative shutdown: bench.py (or an operator) sends SIGTERM when it
-    needs the chip.  Converting it to ``SystemExit`` lets the interpreter
-    unwind normally — the stage context managers dump incremental timings,
-    the pair job's completed row blocks stay on disk, Orbax finishes any
-    in-flight save, and the JAX client closes its backend connection so the
-    next client doesn't hit FAILED_PRECONDITION on a half-dead context."""
+def _exit(signum, _frame):
+    print('[reference_scale stage] SIGTERM: flushing and releasing the chip',
+          flush=True)
+    raise SystemExit(128 + signum)
 
-    def _exit(signum, _frame):
-        print("[reference_scale] SIGTERM: flushing and releasing the chip",
+signal.signal(signal.SIGTERM, _exit)
+
+import jax
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.expanduser('~/.cache/ured_jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+"""
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class _Orchestrator:
+    """Runs stage snippets in fresh subprocesses, forwarding SIGTERM."""
+
+    def __init__(self):
+        self.terminated = False
+        self.child = None
+        signal.signal(signal.SIGTERM, self._on_sigterm)
+
+    def _on_sigterm(self, signum, _frame):
+        print("[reference_scale] SIGTERM: forwarding to stage child",
               flush=True)
-        raise SystemExit(128 + signum)
+        self.terminated = True
+        if self.child is not None and self.child.poll() is None:
+            self.child.send_signal(signal.SIGTERM)
+        else:
+            # no stage in flight — unwind now (dumps incremental timings)
+            raise SystemExit(128 + signum)
 
-    signal.signal(signal.SIGTERM, _exit)
-
-
-def _enable_compile_cache():
-    """Persistent XLA/Mosaic compilation cache: on remote-compile backends a
-    single fresh program costs 60-200 s to compile; the chain's stages and
-    any rerun then hit the cache instead."""
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/ured_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    def run(self, body):
+        """Execute ``body`` (python source) in a fresh interpreter."""
+        env = dict(os.environ)
+        # children must import ured_tpu; PREPEND the repo root but keep the
+        # rest of PYTHONPATH intact (it carries the sitecustomize dir that
+        # registers the TPU backend — clobbering it breaks the backend)
+        parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+        if _REPO_ROOT not in parts:
+            parts.insert(0, _REPO_ROOT)
+        env["PYTHONPATH"] = os.pathsep.join(parts)
+        self.child = subprocess.Popen(
+            [sys.executable, "-c", _CHILD_PREAMBLE + body], env=env)
+        try:
+            rc = self.child.wait()
+        finally:
+            self.child = None
+        if self.terminated:
+            # cooperative handoff: the child flushed and exited; release
+            # the chip by unwinding (stage context managers dump timings)
+            raise SystemExit(143)
+        if rc != 0:
+            raise RuntimeError(f"stage subprocess failed (rc={rc})")
 
 
 def main(argv):
-    _install_sigterm_exit()
-    _enable_compile_cache()
+    orch = _Orchestrator()
     smoke = "--smoke" in argv
     # positional args = argv minus flags AND their values (a flag value like
     # "--targets 40" must not hijack the output-JSON slot)
@@ -84,8 +128,6 @@ def main(argv):
     base = flag("--base", os.path.abspath(
         "ref_scale_smoke_tree" if smoke else "ref_scale_tree"), str)
     log = os.path.join(base, "log")
-
-    from ured_tpu.data import synthetic
 
     timings = {}
     # a supervisor restart starts a fresh process: carry the per-stage
@@ -126,9 +168,11 @@ def main(argv):
                 checkpoint_results()
         return _T()
 
-    # generate+export are deterministic (seed=0) and cost ~10 min at full
-    # scale: a supervisor restart (benchmarks/supervise.py) skips them when
-    # the sentinel says this exact scale was already exported
+    # stage 1+2: generate + export (one child — the generated arrays can't
+    # cross a process boundary; the child reports the per-stage split).
+    # Deterministic (seed=0), ~10 min at full scale: a supervisor restart
+    # (benchmarks/supervise.py) skips them when the sentinel says this
+    # exact scale was already exported.
     sentinel = os.path.join(base, ".export_done")
     want = f"{num_targets}x{num_sources}x{n_points}x{ppp}"
     done = False
@@ -141,15 +185,30 @@ def main(argv):
         timings.setdefault("generate", 0.0)
         timings.setdefault("export_tree", 0.0)
     else:
-        with stage("generate"):
-            data = synthetic.generate(
-                num_targets=num_targets, num_sources=num_sources,
-                n_points=n_points, points_per_part=ppp, max_parts=16, seed=0)
-
-        with stage("export_tree"):
-            synthetic.export_partnet_tree(
-                data, base, num_train=int(0.8 * num_targets))
-        del data
+        split_json = os.path.join(base, ".gen_timings.json")
+        os.makedirs(base, exist_ok=True)
+        print("=== stage: generate+export_tree ===", flush=True)
+        orch.run(f"""
+import time
+from ured_tpu.data import synthetic
+t0 = time.monotonic()
+data = synthetic.generate(
+    num_targets={num_targets}, num_sources={num_sources},
+    n_points={n_points}, points_per_part={ppp}, max_parts=16, seed=0)
+t1 = time.monotonic()
+synthetic.export_partnet_tree(
+    data, {base!r}, num_train=int(0.8 * {num_targets}))
+t2 = time.monotonic()
+with open({split_json!r}, 'w') as f:
+    json.dump({{'generate': round(t1 - t0, 1),
+                'export_tree': round(t2 - t1, 1)}}, f)
+""")
+        with open(split_json) as f:
+            for k, v in json.load(f).items():
+                timings[k] = round(timings.get(k, 0.0) + v, 1)
+        checkpoint_results()
+        print(f"=== generate+export_tree: {timings['generate']} s + "
+              f"{timings['export_tree']} s ===", flush=True)
         with open(sentinel, "w") as f:
             f.write(want)
 
@@ -182,35 +241,89 @@ def main(argv):
     with open(cfg_test, "w") as f:
         json.dump(cfg_dict("test"), f)
 
+    # stage-completion sentinels: each heavy stage is internally resumable
+    # (row markers, Orbax), but even a no-op resume costs minutes (corpus
+    # load + archive re-verify + train-step compile).  A supervisor restart
+    # after a LATER stage failed must not pay that again, so a finished
+    # stage records a scale-stamped sentinel and is skipped outright.
+    stamp = f"{want}@ep{epochs}@bs{flag('--bs', 16)}"
+    done_dir = os.path.join(base, ".stage_done")
+    os.makedirs(done_dir, exist_ok=True)
+
+    def stage_done(name):
+        try:
+            return open(os.path.join(done_dir, name)).read().strip() == stamp
+        except OSError:
+            return False
+
+    def mark_stage_done(name):
+        with open(os.path.join(done_dir, name), "w") as f:
+            f.write(stamp)
+
+    def run_stage(name, body, retries=1, grace_s=60.0):
+        if stage_done(name):
+            print(f"=== {name}: done (sentinel {stamp}) ===", flush=True)
+            timings.setdefault(name, 0.0)
+            return
+        with stage(name):
+            for attempt in range(retries + 1):
+                try:
+                    orch.run(body)
+                    break
+                except RuntimeError:
+                    # a stage launched right after a heavy predecessor can
+                    # find the backend still holding the dead client's HBM
+                    # (observed: evaluate RESOURCE_EXHAUSTED seconds after
+                    # train exits, while the same stage standalone is
+                    # fine).  Give the backend time to reclaim, retry in a
+                    # fresh subprocess; only then fail to the supervisor.
+                    if attempt >= retries:
+                        raise
+                    print(f"=== {name}: attempt {attempt + 1} failed; "
+                          f"retrying in {grace_s:.0f} s ===", flush=True)
+                    time.sleep(grace_s)
+        mark_stage_done(name)
+
     # stage 3: pair archives (the train CLI would build them lazily; timed
     # separately here because it is the chain's biggest offline cost)
-    from ured_tpu.data import pairs as pairs_cli
+    run_stage("pair_archive_train", f"""
+from ured_tpu.data import pairs
+pairs.main(['pairs', {cfg_train!r}])
+""")
+    run_stage("pair_archive_test", f"""
+from ured_tpu.data import pairs
+pairs.main(['pairs', {cfg_test!r}])
+""")
 
-    with stage("pair_archive_train"):
-        pairs_cli.main(["pairs", cfg_train])
-    with stage("pair_archive_test"):
-        pairs_cli.main(["pairs", cfg_test])
+    run_stage("train", f"""
+from ured_tpu.engine import train
+train.main(['train', {cfg_train!r}])
+""")
 
-    from ured_tpu.engine import train as train_cli
+    metrics_json = os.path.join(base, ".eval_metrics.json")
+    run_stage("evaluate", f"""
+from ured_tpu.engine import evaluate
+m = evaluate.main(['evaluate', {cfg_test!r}])
+with open({metrics_json!r}, 'w') as f:
+    json.dump(m, f)
+""")
+    with open(metrics_json) as f:
+        results["metrics"] = json.load(f)
 
-    with stage("train"):
-        train_cli.main(["train", cfg_train])
-
-    from ured_tpu.engine import evaluate as eval_cli
-
-    with stage("evaluate"):
-        results["metrics"] = eval_cli.main(["evaluate", cfg_test])
-
-    from ured_tpu.engine import vis as vis_cli
-
-    with stage("vis"):
-        d = cfg_dict("test")
-        d["vis_max_targets"] = 16   # unknown keys land in cfg.extras
-        cfg_vis = os.path.join(base, "cfg_vis.json")
-        with open(cfg_vis, "w") as f:
-            json.dump(d, f)
-        results["vis_metrics"] = vis_cli.main(
-            ["vis", cfg_vis, os.path.join(base, "vis_out")])
+    d = cfg_dict("test")
+    d["vis_max_targets"] = 16   # unknown keys land in cfg.extras
+    cfg_vis = os.path.join(base, "cfg_vis.json")
+    with open(cfg_vis, "w") as f:
+        json.dump(d, f)
+    vis_json = os.path.join(base, ".vis_metrics.json")
+    run_stage("vis", f"""
+from ured_tpu.engine import vis
+m = vis.main(['vis', {cfg_vis!r}, {os.path.join(base, "vis_out")!r}])
+with open({vis_json!r}, 'w') as f:
+    json.dump(m, f)
+""")
+    with open(vis_json) as f:
+        results["vis_metrics"] = json.load(f)
 
     checkpoint_results()
     print(json.dumps(results))

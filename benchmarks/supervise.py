@@ -25,13 +25,39 @@ import time
 
 
 def _cpu_seconds(pid: int) -> float:
+    """Cumulative CPU of ``pid``'s whole process subtree.
+
+    The chain orchestrator (benchmarks/reference_scale.py) runs each stage
+    in its own subprocess and itself idles in ``wait()`` — sampling only the
+    direct child's utime/stime would read ~0 and false-positive a stall
+    while a stage grandchild is hard at work.  Sum the live descendants'
+    own time plus each process's reaped-children time (cutime/cstime, which
+    absorbs completed stage subprocesses)."""
+    # one /proc pass: stat fields for every live pid + a ppid->children map
+    stats, kids = {}, {}
     try:
-        with open(f"/proc/{pid}/stat") as f:
-            parts = f.read().rsplit(")", 1)[1].split()
-        utime, stime = int(parts[11]), int(parts[12])
-        return (utime + stime) / os.sysconf("SC_CLK_TCK")
-    except (OSError, IndexError, ValueError):
+        live = [int(d) for d in os.listdir("/proc") if d.isdigit()]
+    except OSError:
         return -1.0
+    for p in live:
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            ppid = int(parts[1])
+            own = (int(parts[11]) + int(parts[12])  # utime + stime
+                   + int(parts[13]) + int(parts[14]))  # + reaped children
+            stats[p] = own
+            kids.setdefault(ppid, []).append(p)
+        except (OSError, IndexError, ValueError):
+            continue  # raced exit of an unrelated process
+    if pid not in stats:
+        return -1.0
+    total, frontier = 0, [pid]
+    while frontier:
+        p = frontier.pop()
+        total += stats.get(p, 0)
+        frontier.extend(kids.get(p, ()))
+    return total / os.sysconf("SC_CLK_TCK")
 
 
 def main(argv):

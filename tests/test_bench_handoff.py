@@ -16,6 +16,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import pytest
+
 import bench
 
 
@@ -52,6 +54,7 @@ def test_cooperative_stop_waits_for_clean_exit(tmp_path):
     assert dt < 25.0                          # did not burn the whole grace
 
 
+@pytest.mark.slow  # sleeps through the real SIGKILL grace window
 def test_stop_escalates_to_sigkill_after_grace(tmp_path):
     proc, pidfile = _spawn_fake_chain(tmp_path, name="stubborn",
                                       handler="signal.SIG_IGN")

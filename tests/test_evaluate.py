@@ -277,6 +277,7 @@ def test_ndcg_batch_matches_per_row():
     np.testing.assert_allclose(got, want, rtol=1e-12)
 
 
+@pytest.mark.slow  # ~14 s: bf16 A/B parity (eval default stays f32)
 def test_eval_step_bf16_matches_f32():
     """compute_dtype='bfloat16' eval (params stay f32; matmul/chamfer math
     in bf16) must keep the metric contract: finite outputs, top-1 retrieval

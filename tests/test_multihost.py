@@ -12,6 +12,12 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
+# multi-process rendezvous tier (~18 s): the in-string pytestmark below
+# belongs to the WORKER script, not this module — mark for real here
+pytestmark = pytest.mark.slow
+
 
 _WORKER = r"""
 import sys

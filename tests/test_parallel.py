@@ -87,6 +87,7 @@ def test_sharded_step_dp8_close_to_single_device():
     assert abs(a - b) / abs(a) < 0.35, (a, b)
 
 
+@pytest.mark.slow  # ~68 s: dp8 exact-parity stress; dp2/2d-mesh cover the fast lane
 def test_sharded_step_dp8_syncbn_exact_parity():
     """With SyncBN (batch statistics pmean'd over dp) the 8-way sharded
     step reproduces the single-device numerics, not just approximates them
@@ -158,6 +159,7 @@ def test_sharded_retrieval_matches_single(rng):
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
 
 
+@pytest.mark.slow  # ~20 s: accumulation x sharding composition stress
 def test_sharded_step_with_grad_accumulation():
     """grad_accum_steps composes with the sharded step: the MultiSteps
     accumulator state replicates over the mesh, params hold through the
