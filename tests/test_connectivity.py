@@ -9,6 +9,8 @@ projector, persisted to h5 as ``constraint_mat``/``constraint_proj_mat``),
 
 import json
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -233,10 +235,15 @@ def test_export_welding_duplicate_retrieved_part(tmp_path):
         v2, (parts[0].vertices_mat @ p_abs[2]).reshape(-1, 3), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_run_vis_with_use_connectivity(tmp_path):
     """cfg.use_connectivity drives the vis export path end-to-end: a
     constraint-bearing SourceDB (meshes + per-row C/projector/part index)
-    exports OBJ assemblies with co-retrieved same-shape parts welded."""
+    exports OBJ assemblies with co-retrieved same-shape parts welded.
+
+    slow: second full vis-pipeline compile in the suite (~35 s on the
+    1-core CI box); the projector math itself is covered by the fast
+    tests above, and the default vis path by test_aux.py."""
     import jax
 
     from ured_tpu.config import URedConfig

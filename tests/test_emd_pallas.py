@@ -3,6 +3,7 @@ oracle (interpret mode on CPU; the measured win is on-chip)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ured_tpu.ops.chamfer import pairwise_sqdist
 from ured_tpu.ops.emd import _auction_single, emd_reference
@@ -23,6 +24,8 @@ def _assign_cost(cost, assign):
     return np.take_along_axis(c, a[..., None], axis=-1)[..., 0].mean(-1)
 
 
+@pytest.mark.slow  # interpret-mode Pallas (~5-10 s each on CPU); value parity vs the XLA
+# auction stays fast in test_pallas_auction_matches_xla_value
 def test_pallas_auction_bijective_and_eps_optimal():
     n = 128
     x, y = _clouds(n)
@@ -55,6 +58,8 @@ def test_pallas_auction_matches_xla_value():
                                _assign_cost(cost, want), atol=2 * eps)
 
 
+@pytest.mark.slow  # interpret-mode Pallas (~5-10 s each on CPU); value parity vs the XLA
+# auction stays fast in test_pallas_auction_matches_xla_value
 def test_pallas_auction_early_exit_budget_equivalence():
     """A generous budget and a just-enough budget give identical
     assignments (the while_loop body is a fixed point once all-assigned)."""
@@ -66,6 +71,8 @@ def test_pallas_auction_early_exit_budget_equivalence():
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
 
 
+@pytest.mark.slow  # interpret-mode Pallas (~5-10 s each on CPU); value parity vs the XLA
+# auction stays fast in test_pallas_auction_matches_xla_value
 def test_fori_fallback_matches_while_loop():
     """early_exit=False (fori_loop insurance path) produces the identical
     assignment — the body is a fixed point once converged."""

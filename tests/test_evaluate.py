@@ -237,6 +237,8 @@ def test_bn_recalibration_recovers_collapsed_stats():
     assert good["best_full_cd_loss"] < 1e3
 
 
+@pytest.mark.slow  # third corpus-eval compile in this file; the unsharded dispatch and
+# per-batch equivalences stay in the fast lane
 def test_corpus_eval_sharded_matches_single():
     """make_corpus_eval(mesh=...) shards the stacked-batch axis over all 8
     virtual devices and must match the unsharded program exactly."""

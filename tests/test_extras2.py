@@ -103,6 +103,8 @@ def test_best_of_k_eval():
                                np.asarray(out["cd_best"]), rtol=1e-6)
 
 
+@pytest.mark.slow  # compiles 3 completion nets + 2 GAN steps (~15 s); the completion
+# forwards are covered fast in test_completion.py
 def test_gan_steps(rng):
     model = PCN(num_coarse=16, grid_size=2)
     disc = PointDiscriminator()

@@ -135,6 +135,9 @@ def test_sharded_step_dp8_syncbn_exact_parity():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
 
 
+@pytest.mark.slow  # the heaviest compile in the suite (~50 s cold on the 1-core CI box);
+# the same 2d-mesh train step is exercised every round by the driver's
+# dryrun_multichip and stays covered in the slow lane
 def test_sharded_step_2d_mesh():
     cfg = _tiny_cfg()
     _, batch = _data_and_batch(cfg)
