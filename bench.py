@@ -348,6 +348,8 @@ def run_bench():
         points_per_part=train_cfg.num_part_points,
         max_parts=train_cfg.MAX_NUM_PARTS, seed=0)
     step_s = bench_train_step(train_cfg, URED(train_cfg), train_data)
+    bf16_cfg = URedConfig(compute_dtype="bfloat16")
+    step_bf16_s = bench_train_step(bf16_cfg, URED(bf16_cfg), train_data)
     emd_ms = bench_emd()
     # eval-quality regime (reference emd_module.py:16-19); the auction's
     # convergence early-exit makes the 10k-iteration budget affordable
@@ -356,6 +358,7 @@ def run_bench():
     baseline_floor = 4.0  # targets/sec implied by the <5 min north star
     extras = {
         "train_step_ms": round(step_s * 1e3, 2),
+        "train_step_bf16_ms": round(step_bf16_s * 1e3, 2),
         "train_samples_per_sec": round(train_cfg.batch_size / step_s, 1),
         "emd_1024pt_batch8_ms": round(emd_ms, 1),
         "emd_eval_quality_ms": round(emd_eval_ms, 1),
