@@ -82,3 +82,33 @@ def test_extract_result_line():
     assert bench._extract_result_line("no json here") is None
     # a JSON line without "metric" (e.g. chain evidence) is not the result
     assert bench._extract_result_line(json.dumps({"scale": 1})) is None
+
+
+def test_bf16_isolated_parses_last_float(monkeypatch):
+    """_bf16_step_ms_isolated reads the measurement from the subprocess's
+    last float-parseable stdout line and degrades to None on failure
+    (timeout or no parseable output) instead of raising."""
+
+    class R:
+        def __init__(self, stdout, rc=0):
+            self.stdout, self.returncode = stdout, rc
+
+    calls = {}
+
+    def fake_run(cmd, **kw):
+        calls["cmd"] = cmd
+        return R("warmup chatter\n87.4321\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert bench._bf16_step_ms_isolated() == 87.43
+    assert "--bf16-step" in calls["cmd"]
+
+    monkeypatch.setattr(subprocess, "run",
+                        lambda *a, **k: R("no numbers here\n", rc=1))
+    assert bench._bf16_step_ms_isolated() is None
+
+    def boom(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="x", timeout=1)
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    assert bench._bf16_step_ms_isolated() is None
