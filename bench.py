@@ -429,6 +429,7 @@ def run_bench():
             "stage_seconds": chain.get("stage_seconds"),
             "total_seconds": chain.get("total_seconds"),
             "metrics": chain.get("metrics"),
+            "vis_metrics": chain.get("vis_metrics"),
         }
         break
     print(json.dumps({
