@@ -416,7 +416,10 @@ def run_bench():
         "serve_lean_requests_per_sec": round(serve_lean_rps, 1),
     }
     # surface the latest reference-scale end-to-end chain evidence
-    # (benchmarks/reference_scale.py writes it incrementally) if present
+    # (benchmarks/reference_scale.py writes it incrementally).  When no
+    # evidence file exists the marker is an EXPLICIT "MISSING" — a round
+    # without its most important evidence must be visible in the artifact
+    # itself, not silently shaped like a round that never tried.
     for chain_json in ("reference_scale.json", "reference_scale_smoke.json"):
         try:
             with open(os.path.join(os.path.dirname(
@@ -428,10 +431,14 @@ def run_bench():
             "scale": chain.get("scale"),
             "stage_seconds": chain.get("stage_seconds"),
             "total_seconds": chain.get("total_seconds"),
+            "durability_seconds": chain.get("durability_seconds"),
+            "heartbeat": chain.get("heartbeat"),
             "metrics": chain.get("metrics"),
             "vis_metrics": chain.get("vis_metrics"),
         }
         break
+    else:
+        extras["reference_scale_chain"] = "MISSING"
     print(json.dumps({
         "metric": "retrieval+deform eval throughput (2048-pt targets, "
                   "512-source DB, 16-part padding, 512-dim latents)",

@@ -25,9 +25,16 @@ fi
 # server-side for many minutes with ZERO local CPU; the default 10-minute
 # quiet budget killed the eval child mid-compile (discarding the compile,
 # looping forever).  30 min of silence is the honest stall threshold here.
+# the working tree lives INSIDE the repo: /root/repo is the only path that
+# comes back after a VM re-image (three of them killed /root/ref_scale_tree
+# mid-chain in rounds 3-4), and the chain git-commits its evidence +
+# expensive artifacts from there after every stage
+mkdir -p /root/repo/ref_scale_tree
 setsid nohup python benchmarks/supervise.py --max-restarts 60 \
     --window 300 --quiet-windows 6 -- \
     python benchmarks/reference_scale.py /root/repo/reference_scale.json \
-    --base /root/ref_scale_tree >> /root/refscale.log 2>&1 &
+    --base /root/repo/ref_scale_tree \
+    >> /root/repo/ref_scale_tree/chain.log 2>&1 &
 echo $! > /tmp/refscale.pid
-echo "chain launched (pid $(cat /tmp/refscale.pid), log /root/refscale.log)"
+echo "chain launched (pid $(cat /tmp/refscale.pid)," \
+     "log /root/repo/ref_scale_tree/chain.log)"
