@@ -226,6 +226,29 @@ def run_dcdpps():
                       "shape": "[1024 pairs, 1024x1024 pts]", **out}))
 
 
+def run_bnstats():
+    """f32 train step: masked-BN stats two_pass vs shifted (one HBM read
+    of x per BN instead of two).  Prime suspect for the r02->r04 train-step
+    drift (102.0 -> 113.1 ms: masked BN landed in between).  Loss parity is
+    property-tested in tests/test_masked_bn.py; this measures the cost."""
+    import bench
+    from ured_tpu.config import URedConfig
+    from ured_tpu.data import synthetic
+    from ured_tpu.models.ured import URED
+
+    out = {}
+    for mode in ("two_pass", "shifted"):
+        cfg = URedConfig(extras={"bn_stats_mode": mode})
+        data = synthetic.generate(
+            num_targets=16, num_sources=16, n_points=cfg.num_target_points,
+            points_per_part=cfg.num_part_points, max_parts=cfg.MAX_NUM_PARTS,
+            seed=0)
+        out[f"{mode}_ms"] = round(
+            bench.bench_train_step(cfg, URED(cfg), data) * 1e3, 2)
+    out["speedup"] = round(out["two_pass_ms"] / out["shifted_ms"], 3)
+    print(json.dumps({"experiment": "bnstats_train_step", **out}))
+
+
 def run_evalbs():
     """Eval-pipeline throughput vs batch size (32 = bench default, 64,
     128): per-dispatch host latency over the tunnel amortizes with batch,
@@ -267,7 +290,7 @@ def main(argv):
     runners = {"emd": run_emd, "retrieval": run_retrieval,
                "serve": run_serve, "bf16": run_bf16,
                "evalbf16": run_evalbf16, "dcdpps": run_dcdpps,
-               "evalbs": run_evalbs}
+               "evalbs": run_evalbs, "bnstats": run_bnstats}
     for name, fn in runners.items():
         if name not in which:
             continue
