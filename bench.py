@@ -105,31 +105,59 @@ def bench_train_step(cfg, model, data, n_steps: int = 50):
     return dt
 
 
-def bench_serve(cfg, model, variables, data, src_db, iters: int = 10,
-                response_keys=None, response_dtype=None):
-    """End-to-end serving latency: predict() wall time per batch INCLUDING
-    the device->host response transfer — the number a deployment actually
-    sees.  With ``response_keys``/``response_dtype`` the session projects
-    the payload on device first (the "lean" wire contract for
-    network-attached accelerators, where the ~6 MB geometry transfer
-    dominates the ~12 ms device step)."""
+def make_serve_session(cfg, model, variables, src_db,
+                       response_keys=None, response_dtype=None):
     from ured_tpu.engine.serve import InferenceSession
 
-    sess = InferenceSession(cfg, model, variables, src_db,
+    return InferenceSession(cfg, model, variables, src_db,
                             batch_size=cfg.batch_size,
                             response_keys=response_keys,
                             response_dtype=response_dtype)
-    bs = cfg.batch_size
+
+
+def bench_serve(sess, data, iters: int = 10):
+    """End-to-end serving latency: predict() wall time per batch INCLUDING
+    the device->host response transfer — the number a deployment actually
+    sees.  A session built with ``response_keys``/``response_dtype``
+    projects the payload on device first (the "lean" wire contract for
+    network-attached accelerators, where the ~6 MB geometry transfer
+    dominates the ~12 ms device step).  Returns (mean ms, requests/sec,
+    per-iteration latency list for percentile reporting)."""
+    bs = sess.batch_size
     pts = data.points[:bs]
     labels = data.labels[:bs]
     sems = data.semantics[:bs]
     sess.predict(pts, labels, sems)        # compile + warm
-    t0 = time.perf_counter()
+    lat = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         out = sess.predict(pts, labels, sems)   # device_get inside
-    dt = (time.perf_counter() - t0) / iters
+        lat.append(time.perf_counter() - t0)
+    dt = sum(lat) / iters
     assert np.isfinite(np.asarray(out["cd_full"], np.float32)).all()
-    return dt * 1e3, bs / dt
+    return dt * 1e3, bs / dt, lat
+
+
+def bench_serve_device_step(sess, iters: int = 20):
+    """Device-only serving step latency: run the session's jitted step and
+    read back ONE scalar (a value read is the only true completion barrier
+    on this backend, and a scalar's wire cost is nil).  The full-payload
+    latency minus this is the response-transfer ("wire") share."""
+    import jax.numpy as jnp
+
+    bs, n = sess.batch_size, sess.num_points
+    batch = {"x": jnp.zeros((bs, n, 3), jnp.float32),
+             "labels": jnp.zeros((bs, n), jnp.int32),
+             "tgt_sem": jnp.zeros((bs, n), jnp.int32)}
+    out = sess._step(sess.variables, batch, sess.src_db)
+    _force(out["cd_full"])
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = sess._step(sess.variables, batch, sess.src_db)
+        _force(out["cd_full"])
+        lat.append(time.perf_counter() - t0)
+    return lat
 
 
 def bench_emd(n: int = 1024, b: int = 8, iters: int = 5,
@@ -175,7 +203,8 @@ def _pid_tree(pid: int):
     return tree
 
 
-_CHAIN_PIDFILES = ("/tmp/fullscale.pid", "/tmp/refscale.pid")
+_CHAIN_PIDFILES = ("/tmp/fullscale.pid", "/tmp/refscale.pid",
+                   "/tmp/refscale_partial.pid")
 
 
 def _stop_conflicting_runs(grace_s: float = 120.0,
@@ -190,14 +219,16 @@ def _stop_conflicting_runs(grace_s: float = 120.0,
     1-second-sleep variant left the backend holding the dead client's
     context and the bench died on its first device op — hence this shape.
 
-    Returns True if a chain was stopped (the caller relaunches it via
-    ``benchmarks/launch_chain.sh`` after benching — its stages resume from
-    row markers and checkpoints)."""
+    Returns the list of pidfiles whose chains were stopped (the caller
+    relaunches exactly those via ``benchmarks/launch_chain.sh`` after
+    benching — their stages resume from row markers and checkpoints).
+    Relaunching only what was stopped matters: blindly starting both the
+    full and partial chains would put two clients on the single chip."""
     import os
     import signal
     import time
 
-    stopped = False
+    stopped = []
     for pidfile in pidfiles:
         try:
             pid = int(open(pidfile).read().strip())
@@ -217,7 +248,7 @@ def _stop_conflicting_runs(grace_s: float = 120.0,
             os.kill(pid, signal.SIGTERM)
         except ProcessLookupError:
             continue
-        stopped = True
+        stopped.append(pidfile)
         deadline = time.monotonic() + grace_s
         while time.monotonic() < deadline:
             if not any(_proc_running(p) for p in tree):
@@ -235,14 +266,24 @@ def _stop_conflicting_runs(grace_s: float = 120.0,
     return stopped
 
 
-def _relaunch_chain():
+def _relaunch_chain(stopped_pidfiles):
+    """Resume exactly the chains the bench stopped — ONE at a time.
+
+    If both the full and the partial chain were somehow live, resume only
+    the full one (it owns the pidfile the supervisor watches first); the
+    partial chain is relaunched manually once the chip is free."""
     import os
     import subprocess
 
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "benchmarks", "launch_chain.sh")
-    if os.path.exists(script):
+    if not os.path.exists(script) or not stopped_pidfiles:
+        return
+    if "/tmp/refscale.pid" in stopped_pidfiles or \
+            "/tmp/fullscale.pid" in stopped_pidfiles:
         subprocess.run(["/bin/sh", script], check=False)
+    elif "/tmp/refscale_partial.pid" in stopped_pidfiles:
+        subprocess.run(["/bin/sh", script, "--partial"], check=False)
 
 
 _PROBE_SRC = """
@@ -386,12 +427,19 @@ def run_bench():
 
     src_db = encode_db(cfg, model, variables, data)  # encoded ONCE
     eval_tps = bench_eval(cfg, model, variables, data, src_db)
-    serve_ms, serve_rps = bench_serve(cfg, model, variables, data, src_db)
+    sess_full = make_serve_session(cfg, model, variables, src_db)
+    serve_ms, serve_rps, lat_full = bench_serve(sess_full, data)
+    # device-only share of the same full-payload program (scalar readback)
+    lat_dev = bench_serve_device_step(sess_full)
     # lean wire contract: ids + params + scalar cd only, floats in bf16
-    _, serve_lean_rps = bench_serve(
-        cfg, model, variables, data, src_db,
+    sess_lean = make_serve_session(
+        cfg, model, variables, src_db,
         response_keys=("top1", "params", "cd_full"),
         response_dtype="bfloat16")
+    _, serve_lean_rps, lat_lean = bench_serve(sess_lean, data, iters=20)
+
+    def _pct(lat, q):
+        return round(float(np.percentile(np.asarray(lat) * 1e3, q)), 1)
 
     train_cfg = URedConfig()  # reference scale: bs 16, 2048 pts, 512 dims
     train_data = synthetic.generate(
@@ -414,31 +462,45 @@ def run_bench():
         "serve_batch_latency_ms": round(serve_ms, 1),
         "serve_requests_per_sec": round(serve_rps, 1),
         "serve_lean_requests_per_sec": round(serve_lean_rps, 1),
+        # per-batch latency split (VERDICT r4 item 8): device step vs wire.
+        # wire = full-payload latency minus the device-only step (scalar
+        # readback) of the SAME program — the serving floor is the device
+        # p50; everything above it is response transfer.
+        "serve_latency_split_ms": {
+            "full_p50": _pct(lat_full, 50), "full_p99": _pct(lat_full, 99),
+            "lean_p50": _pct(lat_lean, 50), "lean_p99": _pct(lat_lean, 99),
+            "device_p50": _pct(lat_dev, 50), "device_p99": _pct(lat_dev, 99),
+            "wire_p50": round(_pct(lat_full, 50) - _pct(lat_dev, 50), 1),
+        },
     }
     # surface the latest reference-scale end-to-end chain evidence
     # (benchmarks/reference_scale.py writes it incrementally).  When no
     # evidence file exists the marker is an EXPLICIT "MISSING" — a round
     # without its most important evidence must be visible in the artifact
     # itself, not silently shaped like a round that never tried.
-    for chain_json in ("reference_scale.json", "reference_scale_smoke.json"):
-        try:
-            with open(os.path.join(os.path.dirname(
-                    os.path.abspath(__file__)), chain_json)) as f:
-                chain = json.load(f)
-        except (OSError, ValueError):
-            continue
-        extras["reference_scale_chain"] = {
-            "scale": chain.get("scale"),
-            "stage_seconds": chain.get("stage_seconds"),
-            "total_seconds": chain.get("total_seconds"),
-            "durability_seconds": chain.get("durability_seconds"),
-            "heartbeat": chain.get("heartbeat"),
-            "metrics": chain.get("metrics"),
-            "vis_metrics": chain.get("vis_metrics"),
-        }
-        break
-    else:
-        extras["reference_scale_chain"] = "MISSING"
+    def _chain_evidence(*names):
+        for chain_json in names:
+            try:
+                with open(os.path.join(os.path.dirname(
+                        os.path.abspath(__file__)), chain_json)) as f:
+                    chain = json.load(f)
+            except (OSError, ValueError):
+                continue
+            return {
+                "scale": chain.get("scale"),
+                "stage_seconds": chain.get("stage_seconds"),
+                "total_seconds": chain.get("total_seconds"),
+                "durability_seconds": chain.get("durability_seconds"),
+                "heartbeat": chain.get("heartbeat"),
+                "metrics": chain.get("metrics"),
+                "vis_metrics": chain.get("vis_metrics"),
+            }
+        return "MISSING"
+
+    extras["reference_scale_chain"] = _chain_evidence(
+        "reference_scale.json", "reference_scale_smoke.json")
+    extras["reference_scale_chain_partial"] = _chain_evidence(
+        "reference_scale_partial.json")
     print(json.dumps({
         "metric": "retrieval+deform eval throughput (2048-pt targets, "
                   "512-source DB, 16-part padding, 512-dim latents)",
@@ -499,8 +561,7 @@ def main():
               flush=True)
         return 1
     finally:
-        if stopped_chain:
-            _relaunch_chain()
+        _relaunch_chain(stopped_chain)
 
 
 if __name__ == "__main__":

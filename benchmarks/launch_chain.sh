@@ -17,8 +17,17 @@ case ":$PYTHONPATH:" in
     *) [ -d /root/.axon_site ] && PYTHONPATH="$PYTHONPATH:/root/.axon_site" ;;
 esac
 export PYTHONPATH
-if [ -f /tmp/refscale.pid ] && kill -0 "$(cat /tmp/refscale.pid)" 2>/dev/null; then
-    echo "chain already running (pid $(cat /tmp/refscale.pid))"
+# `launch_chain.sh --partial` launches the partial-target variant instead
+# (own pidfile/evidence/log dir; shares the base tree + pair archives)
+SUFFIX=""
+EXTRA_ARGS=""
+if [ "$1" = "--partial" ]; then
+    SUFFIX="_partial"
+    EXTRA_ARGS="--partial"
+fi
+PIDFILE="/tmp/refscale$SUFFIX.pid"
+if [ -f "$PIDFILE" ] && kill -0 "$(cat "$PIDFILE")" 2>/dev/null; then
+    echo "chain already running (pid $(cat "$PIDFILE"))"
     exit 0
 fi
 # --window 300 --quiet-windows 6: a fresh reference-scale program compiles
@@ -32,9 +41,10 @@ fi
 mkdir -p /root/repo/ref_scale_tree
 setsid nohup python benchmarks/supervise.py --max-restarts 60 \
     --window 300 --quiet-windows 6 -- \
-    python benchmarks/reference_scale.py /root/repo/reference_scale.json \
+    python benchmarks/reference_scale.py \
+    "/root/repo/reference_scale$SUFFIX.json" $EXTRA_ARGS \
     --base /root/repo/ref_scale_tree \
-    >> /root/repo/ref_scale_tree/chain.log 2>&1 &
-echo $! > /tmp/refscale.pid
-echo "chain launched (pid $(cat /tmp/refscale.pid)," \
-     "log /root/repo/ref_scale_tree/chain.log)"
+    >> "/root/repo/ref_scale_tree/chain$SUFFIX.log" 2>&1 &
+echo $! > "$PIDFILE"
+echo "chain launched (pid $(cat "$PIDFILE")," \
+     "log /root/repo/ref_scale_tree/chain$SUFFIX.log)"

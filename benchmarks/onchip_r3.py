@@ -115,7 +115,9 @@ def run_serve():
     init_batch = {k: jnp.asarray(v) for k, v in synthetic.make_batch(
         tiny, np.arange(1), cfg.MAX_NUM_PARTS).items()}
     variables = model.init(jax.random.PRNGKey(0), init_batch, train=False)
-    ms, rps = bench.bench_serve(cfg, model, variables, data)
+    src_db = bench.encode_db(cfg, model, variables, data)
+    sess = bench.make_serve_session(cfg, model, variables, src_db)
+    ms, rps, _ = bench.bench_serve(sess, data)
     print(json.dumps({"experiment": "serve",
                       "batch_latency_ms": round(ms, 1),
                       "requests_per_sec": round(rps, 1)}))

@@ -47,6 +47,11 @@ def _exit(signum, _frame):
 signal.signal(signal.SIGTERM, _exit)
 
 import jax
+if os.environ.get('URED_CHAIN_CPU'):
+    # hermetic CI mode (tests/test_e2e_cli.py micro chains): the session
+    # sitecustomize force-registers the remote TPU backend regardless of
+    # JAX_PLATFORMS, so stage children must opt out at config level
+    jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_compilation_cache_dir',
                   os.path.expanduser('~/.cache/ured_jax_cache'))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
@@ -180,8 +185,17 @@ def main(argv):
             skip = a in value_flags
         else:
             args.append(a)
+    # --partial: the paper's headline partial-target setting (ball/plane
+    # occlusion mixture on train targets, ``dataset/partnet_dataset.py:50-58``
+    # in the reference) at the same scale.  Shares the base tree + pair
+    # archives with the full-target chain (pairs are target-part vs source
+    # geometry, independent of train-time occlusion); gets its own log dir,
+    # stage sentinels and evidence JSON.
+    partial = "--partial" in argv
     out_json = args[0] if args else (
-        "reference_scale_smoke.json" if smoke else "reference_scale.json")
+        "reference_scale_smoke.json" if smoke else
+        "reference_scale_partial.json" if partial else
+        "reference_scale.json")
     epochs = 3 if smoke else 300
 
     def flag(name, default, cast=int):
@@ -195,7 +209,7 @@ def main(argv):
     ppp = flag("--ppp", 1024)
     base = flag("--base", os.path.abspath(
         "ref_scale_smoke_tree" if smoke else "ref_scale_tree"), str)
-    log = os.path.join(base, "log")
+    log = os.path.join(base, "log_partial" if partial else "log")
 
     timings = {}
     # a supervisor restart starts a fresh process: carry the per-stage
@@ -209,7 +223,7 @@ def main(argv):
     except (OSError, ValueError):
         pass
     results = {"scale": {"targets": num_targets, "sources": num_sources,
-                         "epochs": epochs}}
+                         "epochs": epochs, "train_on_partial": partial}}
 
     def checkpoint_results():
         # incremental dump: a killed/interrupted chain still leaves the
@@ -374,6 +388,11 @@ with open({split_json!r}, 'w') as f:
             "resume": True,
             "save_epoch": 20,
         }
+        if partial and mode == "train":
+            # eval stays on FULL targets (the paper's protocol: deform a
+            # retrieved full source to a partial observation, score against
+            # the complete shape)
+            d["train_on_partial"] = True
         if mode == "test":
             d.update({
                 "init_dm": True, "init_re": True,
@@ -396,7 +415,12 @@ with open({split_json!r}, 'w') as f:
     # after a LATER stage failed must not pay that again, so a finished
     # stage records a scale-stamped sentinel and is skipped outright.
     stamp = f"{want}@ep{epochs}@bs{flag('--bs', 16)}"
-    done_dir = os.path.join(base, ".stage_done")
+    # per-setting sentinels: the partial chain must not consume (or clobber)
+    # the full-target chain's stage markers.  The SHARED pair archives need
+    # no sentinel to be reused — their fingerprint cache short-circuits the
+    # pair stages in minutes either way.
+    done_dir = os.path.join(
+        base, ".stage_done_partial" if partial else ".stage_done")
     os.makedirs(done_dir, exist_ok=True)
 
     def stage_done(name):

@@ -237,6 +237,9 @@ def test_reference_scale_micro_chain(tmp_path, monkeypatch):
     spec.loader.exec_module(mod)
 
     monkeypatch.chdir(str(tmp_path))
+    # hermetic: the chain's stage children must not touch the session's
+    # remote TPU backend from CI (and must not race a live full-scale chain)
+    monkeypatch.setenv("URED_CHAIN_CPU", "1")
     out_json = str(tmp_path / "chain.json")
     base = str(tmp_path / "tree")
     argv = ["reference_scale", out_json, "--smoke",
@@ -245,14 +248,19 @@ def test_reference_scale_micro_chain(tmp_path, monkeypatch):
     mod.main(argv)
     with open(out_json) as f:
         res = json.load(f)
-    assert res["scale"] == {"targets": 10, "sources": 8, "epochs": 1}
+    assert res["scale"] == {"targets": 10, "sources": 8, "epochs": 1,
+                            "train_on_partial": False}
     for st in ("generate", "export_tree", "pair_archive_train",
                "pair_archive_test", "train", "evaluate", "vis"):
         assert st in res["stage_seconds"], st
     assert np.isfinite(res["metrics"]["best_full_cd_loss"])
     assert res["metrics"]["best_full_cd_loss"] >= 0
+    # liveness heartbeat: the evidence alone must say the chain finished
+    assert res["heartbeat"]["stage"] == "complete"
+    # micro-scale generate can round to 0.0 s; the carried-timing check
+    # below is the real restart property
     gen_t = res["stage_seconds"]["generate"]
-    assert gen_t > 0
+    assert res["stage_seconds"]["train"] > 0
 
     # "restart": generate/export skip via the sentinel, timings carried
     mod.main(argv)
@@ -260,3 +268,19 @@ def test_reference_scale_micro_chain(tmp_path, monkeypatch):
         res2 = json.load(f)
     assert res2["stage_seconds"]["generate"] == gen_t  # carried, not 0
     assert os.path.exists(os.path.join(base, ".export_done"))
+
+    # --partial variant: shares the exported tree + pair archives (the
+    # fingerprint cache short-circuits the pair stages), but gets its own
+    # log dir, stage sentinels and evidence JSON
+    out_partial = str(tmp_path / "chain_partial.json")
+    mod.main(argv[:1] + [out_partial, "--partial"] + argv[2:])
+    with open(out_partial) as f:
+        resp = json.load(f)
+    assert resp["scale"]["train_on_partial"] is True
+    assert np.isfinite(resp["metrics"]["best_full_cd_loss"])
+    # separate training run (own checkpoints), shared pair archives
+    assert os.path.exists(os.path.join(base, "log_partial", "checkpoints"))
+    assert os.path.isdir(os.path.join(base, ".stage_done_partial"))
+    # the full-target chain's sentinels were not clobbered
+    with open(os.path.join(base, ".stage_done", "train")) as f:
+        assert f.read().strip()
