@@ -48,8 +48,13 @@ class URED(nn.Module):
         bn_axis = "dp" if c.extras.get("sync_bn") else None
         # "shifted" halves the HBM reads per BatchNorm (one-pass shifted
         # sums with shift = the running mean); "two_pass" is the exactness
-        # baseline.  See MaskedBatchNorm.stats_mode.
-        bn_stats = c.extras.get("bn_stats_mode", "two_pass")
+        # baseline.  Default shifted: measured 102.8 vs 113.0 ms/step f32
+        # at reference scale (benchmarks/onchip_r3.py bnstats, v5e) — the
+        # two-pass reads were the whole r02->r04 train-step drift — and
+        # stats parity vs two_pass is property-tested (tests/test_masked_bn
+        # ::test_shifted_stats_match_two_pass, incl. the zero-running-mean
+        # worst case).  See MaskedBatchNorm.stats_mode.
+        bn_stats = c.extras.get("bn_stats_mode", "shifted")
         self.target_encoder_full = TargetEncoder(
             embedding_size=c.target_latent_dim, sem_size=c.sem_latent_dim,
             dtype=dtype, axis_name=bn_axis, bn_stats_mode=bn_stats,
