@@ -407,10 +407,15 @@ def run_bench():
     from ured_tpu.data import synthetic
     from ured_tpu.models.ured import URED
 
-    # batch 32 amortizes per-dispatch host latency over the tunnel
+    # batch 32 amortizes per-dispatch host latency over the tunnel for the
+    # serving contract; the throughput eval runs at batch 64 — the measured
+    # sweet spot of the tunnel's dispatch-latency / HBM trade
+    # (benchmarks/onchip_r3.py evalbs: 2860 tps at 64 vs 2745 at 32,
+    # 2831 at 128)
     cfg = URedConfig(batch_size=32)
+    eval_cfg = URedConfig(batch_size=64)
     data = synthetic.generate(
-        num_targets=64, num_sources=512,
+        num_targets=128, num_sources=512,
         n_points=cfg.num_target_points, points_per_part=cfg.num_part_points,
         max_parts=cfg.MAX_NUM_PARTS, seed=0)
 
@@ -426,7 +431,7 @@ def run_bench():
     variables = model.init(jax.random.PRNGKey(0), init_batch, train=False)
 
     src_db = encode_db(cfg, model, variables, data)  # encoded ONCE
-    eval_tps = bench_eval(cfg, model, variables, data, src_db)
+    eval_tps = bench_eval(eval_cfg, model, variables, data, src_db)
     sess_full = make_serve_session(cfg, model, variables, src_db)
     serve_ms, serve_rps, lat_full = bench_serve(sess_full, data)
     # device-only share of the same full-payload program (scalar readback)
