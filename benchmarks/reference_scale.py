@@ -128,6 +128,65 @@ def _newest_complete_checkpoint(ckpt_root: str):
     return None
 
 
+def _snapshot_partials(pairs_dir: str):
+    """Quiesced copies of the pair job's live ``*.partial`` resume dirs.
+
+    Copies each ``<archive>.partial/`` to ``<archive>.partial.snap/`` —
+    marker first, memmaps second — and returns the snap paths.  The snap
+    is what gets git-committed (hashing the live memmaps fails with
+    "unstable object source data"); ``_restore_partial_snaps`` maps a
+    committed snap back to the ``.partial`` path the pair job resumes
+    from after a VM re-image.
+    """
+    import glob
+    import shutil
+
+    snaps = []
+    for part in sorted(glob.glob(os.path.join(pairs_dir, "*.partial"))):
+        marker = os.path.join(part, "rows_done")
+        if not os.path.exists(marker):
+            continue
+        snap = part + ".snap"
+        tmp = snap + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        try:
+            # marker FIRST: the rows it claims were flushed (and never
+            # change) before the job advanced it, so copying the memmaps
+            # afterwards can only ADD stable rows beyond the claim
+            shutil.copy2(marker, os.path.join(tmp, "rows_done"))
+            for npy in sorted(glob.glob(os.path.join(part, "*.npy"))):
+                shutil.copy2(npy, os.path.join(tmp, os.path.basename(npy)))
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            continue
+        shutil.rmtree(snap, ignore_errors=True)
+        os.replace(tmp, snap)
+        snaps.append(snap)
+    return snaps
+
+
+def _restore_partial_snaps(pairs_dir: str) -> None:
+    """Rehydrate ``*.partial`` resume dirs from committed ``*.snap`` copies.
+
+    After a VM re-image only git-committed state survives; the pair job
+    resumes from ``<archive>.partial/``, which was never committable live.
+    If a snap exists and the partial doesn't (or lacks a marker), copy the
+    snap back so the job resumes from the snapshot row instead of zero.
+    """
+    import glob
+    import shutil
+
+    for snap in sorted(glob.glob(os.path.join(pairs_dir, "*.partial.snap"))):
+        part = snap[: -len(".snap")]
+        if os.path.exists(os.path.join(part, "rows_done")):
+            continue   # live resume state already present and newer
+        shutil.rmtree(part, ignore_errors=True)
+        shutil.copytree(snap, part)
+        print(f"[durability] restored pair resume state from "
+              f"{os.path.basename(snap)}", flush=True)
+
+
 class _Orchestrator:
     """Runs stage snippets in fresh subprocesses, forwarding SIGTERM."""
 
@@ -277,13 +336,21 @@ def main(argv):
                                 # snapshot the row-resumable partials so a
                                 # VM re-image mid-way through the chain's
                                 # longest stage (~73 min) costs <= 25 min.
-                                # markers FIRST (see _git_commit ordering)
-                                import glob as _glob
-                                markers = sorted(_glob.glob(os.path.join(
-                                    pairs_dir, "*.partial", "rows_done")))
-                                if markers:
+                                # git CANNOT add the live memmaps directly —
+                                # the job mutates them while git hashes
+                                # ("unstable object source data", observed
+                                # r5) — so copy to a quiesced *.snap dir
+                                # first.  Marker FIRST: rows the job flushed
+                                # before advancing the marker never change,
+                                # so the copied marker only ever claims
+                                # stable rows.
+                                # NOT pairs_dir itself: that would stage
+                                # the live memmaps and hit the same
+                                # unstable-hash failure
+                                snaps = _snapshot_partials(pairs_dir)
+                                if snaps:
                                     _git_commit(
-                                        markers + [pairs_dir, out_json],
+                                        snaps + [out_json],
                                         "chain durability: "
                                         f"{name} partial rows")
                             last_ckpt_commit = time.monotonic()
@@ -459,7 +526,12 @@ with open({split_json!r}, 'w') as f:
         commit_stage(name)
 
     # stage 3: pair archives (the train CLI would build them lazily; timed
-    # separately here because it is the chain's biggest offline cost)
+    # separately here because it is the chain's biggest offline cost).
+    # After a re-image, rehydrate the row-resume state from the committed
+    # mid-stage snapshots; once a stage's final archive is committed the
+    # snaps are dead weight in the checkout and are dropped (history keeps
+    # them, which is all durability needs).
+    _restore_partial_snaps(pairs_dir)
     run_stage("pair_archive_train", f"""
 from ured_tpu.data import pairs
 pairs.main(['pairs', {cfg_train!r}])
@@ -468,6 +540,12 @@ pairs.main(['pairs', {cfg_train!r}])
 from ured_tpu.data import pairs
 pairs.main(['pairs', {cfg_test!r}])
 """)
+    import glob as _glob
+    import shutil as _shutil
+    for _snap in _glob.glob(os.path.join(pairs_dir, "*.partial.snap")):
+        _shutil.rmtree(_snap, ignore_errors=True)
+    _git_commit([pairs_dir], "chain durability: drop pair snapshots "
+                "(final archives committed)")
 
     run_stage("train", f"""
 from ured_tpu.engine import train

@@ -63,6 +63,7 @@ def test_retrieval_qa():
     assert out["topk_semantic_mismatch_rate"] == pytest.approx(0.25)
 
 
+@pytest.mark.slow  # 1-core lane budget: whole-pipeline vis compile; the export writers have fast unit tests and the micro chain covers vis e2e
 def test_run_vis_exports(tmp_path):
     cfg = URedConfig(batch_size=2, MAX_NUM_PARTS=8, num_target_points=128,
                      num_part_points=32, sem_latent_dim=8,

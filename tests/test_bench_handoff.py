@@ -112,3 +112,54 @@ def test_bf16_isolated_parses_last_float(monkeypatch):
 
     monkeypatch.setattr(subprocess, "run", boom)
     assert bench._bf16_step_ms_isolated() is None
+
+
+def _load_reference_scale_module():
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(__file__), os.pardir,
+                        "benchmarks", "reference_scale.py")
+    spec = importlib.util.spec_from_file_location("_refscale", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_pair_partial_snapshot_roundtrip(tmp_path):
+    """Mid-stage durability: the chain snapshots the pair job's live
+    ``*.partial`` resume dirs to quiesced ``*.snap`` copies (git cannot
+    hash memmaps that are being written: "unstable object source data"),
+    and rehydrates ``.partial`` from ``.snap`` after a VM re-image."""
+    import shutil
+
+    import numpy as np
+
+    rs = _load_reference_scale_module()
+    pairs_dir = str(tmp_path)
+    part = os.path.join(pairs_dir, "a.npz.partial")
+    os.makedirs(part)
+    np.save(os.path.join(part, "dcd.npy"), np.arange(4.0))
+    with open(os.path.join(part, "rows_done"), "w") as f:
+        f.write("2")
+
+    snaps = rs._snapshot_partials(pairs_dir)
+    assert snaps == [part + ".snap"]
+    assert open(os.path.join(snaps[0], "rows_done")).read() == "2"
+
+    # a live partial with a marker wins over the snap
+    with open(os.path.join(part, "rows_done"), "w") as f:
+        f.write("3")
+    rs._restore_partial_snaps(pairs_dir)
+    assert open(os.path.join(part, "rows_done")).read() == "3"
+
+    # after a re-image only the committed snap survives
+    shutil.rmtree(part)
+    rs._restore_partial_snaps(pairs_dir)
+    assert open(os.path.join(part, "rows_done")).read() == "2"
+    assert np.load(os.path.join(part, "dcd.npy")).tolist() == [0, 1, 2, 3]
+
+    # a marker-less partial dir (created but not yet marked) must not
+    # shadow the snap
+    os.remove(os.path.join(part, "rows_done"))
+    rs._restore_partial_snaps(pairs_dir)
+    assert open(os.path.join(part, "rows_done")).read() == "2"

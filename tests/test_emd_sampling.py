@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ured_tpu.ops.emd import calc_emd, emd_auction, emd_reference
 from ured_tpu.ops.sampling import (
@@ -37,6 +38,7 @@ def test_emd_close_to_hungarian():
     assert np.all(approx <= exact * 1.6 + 1e-3), (approx, exact)
 
 
+@pytest.mark.slow  # 1-core lane budget: 10k-iteration eval-quality budget; train-quality auction tests stay fast
 def test_emd_eval_quality_bounds_gap():
     """Eval-quality regime (eps=0.002, iters=10000 — reference
     ``emd_module.py:16-19``): the auction value must be within eps-optimal

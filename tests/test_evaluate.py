@@ -177,6 +177,7 @@ def test_corpus_eval_matches_per_batch():
                                np.asarray(single["cd_full"]), rtol=1e-5)
 
 
+@pytest.mark.slow  # 1-core lane budget: corpus-dispatch duplicate of test_eval_step_and_full_evaluate
 def test_evaluate_corpus_dispatch_matches_per_batch():
     """``corpus_eval: true`` (one lax.map dispatch for the whole split)
     must reproduce the per-batch loop's metrics exactly — including a

@@ -146,6 +146,7 @@ def test_shifted_stats_match_two_pass():
                 np.asarray(outs["two_pass"][1][k]), rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow  # 1-core lane budget: full URED compile just to probe plumbing; the shifted/two_pass parity + module tests stay fast
 def test_bn_stats_mode_extra_reaches_every_bn():
     """cfg.extras['bn_stats_mode'] must thread down to every MaskedBatchNorm
     in the assembled URED tree (encoders, residual decoders, graph stack),

@@ -117,6 +117,7 @@ def test_vn_neighbor_maxpool_equivariance(rng):
         np.asarray(_apply_rot(out, r)), atol=1e-4)
 
 
+@pytest.mark.slow  # 1-core lane budget: whole-encoder compile; VN layer equivariance property tests stay fast
 def test_vn_encoder_from_config_honors_pooling_keys(rng):
     from ured_tpu.config import URedConfig
 
@@ -214,6 +215,7 @@ def test_pointnet2_cls(rng, cls):
     assert np.isfinite(np.asarray(logp)).all()
 
 
+@pytest.mark.slow  # 1-core lane budget: zoo variant compile; PointNet2ClsSSG + pointnet_cls_seg stay the fast zoo representatives
 def test_pointnet2_seg(rng):
     pts = jnp.asarray(rng.normal(size=(2, 256, 3)), jnp.float32)
     m = PointNet2SegSSG(num_classes=6)
@@ -255,6 +257,7 @@ def test_positional_encoding(rng):
     assert out.shape == (2, 10, 16)
 
 
+@pytest.mark.slow  # 1-core lane budget: zoo variant compile; PointNet2ClsSSG + pointnet_cls_seg stay the fast zoo representatives
 def test_pointnet2_part_seg_variants(rng):
     from ured_tpu.models.pointnet import PointNet2PartSeg
 

@@ -194,6 +194,7 @@ def test_sharded_step_with_grad_accumulation():
     assert np.isfinite(float(m2["all_loss"]))
 
 
+@pytest.mark.slow  # 1-core lane budget: escape-hatch path (retrieval_chunk defaults to None); flat top-k retrieval stays fast
 def test_chunked_retrieval_matches_unchunked(rng):
     """The single-device chunked top-k (per-block top-k + merge, the
     in-device form of the sharded merge) is exact at every chunk size,
@@ -242,6 +243,7 @@ def test_contrastive_allgather_consistency():
                                rtol=1e-4)
 
 
+@pytest.mark.slow  # 1-core lane budget: GSPMD duplicate of the shard_map eval path (test_evaluate_small_split_under_mesh stays fast)
 def test_eval_step_gspmd_sharded_db():
     """The full eval step under jit with the source DB sharded over the db
     axis and the batch over dp: GSPMD partitions the retrieval matmul and

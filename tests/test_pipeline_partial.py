@@ -76,6 +76,7 @@ def test_pipeline_mp_prefetch_matches_inline(tmp_path, rng):
                                           np.asarray(b[k]))
 
 
+@pytest.mark.slow  # 1-core lane budget: full partial-eval compile; occlusion generators + partial batch plumbing stay fast
 def test_partial_target_eval():
     cfg = URedConfig(batch_size=2, MAX_NUM_PARTS=8, num_target_points=64,
                      num_part_points=16, sem_latent_dim=8,

@@ -63,6 +63,7 @@ def test_predict_single_request(session, requests_batch):
                                rtol=1e-6)
 
 
+@pytest.mark.slow  # 1-core lane budget: second session compile for the save/load path; covered by the fast session contract + IO units
 def test_artifact_roundtrip(session, requests_batch):
     """The serialized StableHLO artifact reproduces the live session."""
     import jax.numpy as jnp
@@ -102,6 +103,7 @@ def test_predict_unlabeled_roca_bridge(session):
     assert out["deformed"].ndim == 3  # [P, n, 3] single request
 
 
+@pytest.mark.slow  # 1-core lane budget: mesh duplicate of the single-device session contract (test_predict_shapes_and_padding stays fast)
 def test_session_on_mesh_matches_single_device(session, requests_batch):
     """A (dp, db)-mesh session returns the single-device results exactly
     (db-sharded retrieval + dp-sharded batch, the evaluate() placement)."""
